@@ -1,0 +1,261 @@
+"""1D U-Net denoiser with FiLM time conditioning and per-stage measurement
+conditioning — the TPU-native counterpart of the reference's ``UNet1D``
+(``/root/reference/src/snr_denoising/models.py:62-231``).
+
+Behavioral parity (same math, not a translation):
+
+- input channel convention ``[x_t | cond_0..K-1 | (optional) selfcond]``
+  with the legacy ``in_ch=3`` inference rule (ref ``models.py:68-98``)
+- conv block = Conv1d(k, same) -> GroupNorm(gcd(8, C)) -> SiLU
+  (ref ``models.py:154-167``)
+- FiLM ``h*(1+gamma)+beta`` from ``SiLU o Dense(base_ch -> 2C)`` at every
+  stage (ref ``models.py:136-142, 169-173``)
+- conditioning bias: cond channels linearly resized to the stage length then
+  a 1x1 conv, added to h (ref ``models.py:144-152, 188-193``)
+- downsample avg-pool 2, upsample nearest x2 with static pad/crop length
+  fixups, skip concat (ref ``models.py:208, 216-221``)
+- final head sees only ``[decoder_out | x_t]`` and is zero-initialised
+  (ref ``models.py:131-134, 226-230``)
+
+TPU-first design choices (deliberately NOT the torch layout):
+
+- arrays flow as (B, L, C): channels-last is the native TPU/XLA conv layout,
+  so every conv lands on the MXU without transposes. The public ``__call__``
+  accepts the reference's (B, C, L) and transposes once at entry/exit.
+- length fixups use *static* Python shape logic — shapes are trace-time
+  constants under jit, so this compiles to fixed pads/slices (no dynamic
+  shapes).
+- optional self-attention at the bottleneck (BASELINE config 3 extension;
+  the reference has no attention anywhere).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class TimeEmbedding(nn.Module):
+    """Sinusoidal timestep embedding (ref ``models.py:9-31``).
+
+    t is normalised by ``max_time``; frequencies are log-spaced base 10000;
+    output is [sin || cos], zero-padded if ``dim`` is odd.
+    """
+
+    dim: int
+    max_time: float = 999.0
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        t_scaled = t.astype(jnp.float32) / max(self.max_time, 1.0)
+        half = self.dim // 2
+        freqs = jnp.exp(
+            jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / max(half - 1, 1))
+        )
+        x = t_scaled[:, None] * freqs[None, :]
+        emb = jnp.concatenate([jnp.sin(x), jnp.cos(x)], axis=1)
+        if self.dim % 2 == 1:
+            emb = jnp.concatenate([emb, jnp.zeros((t.shape[0], 1), jnp.float32)], axis=1)
+        return emb
+
+
+def _num_groups(out_ch: int) -> int:
+    return max(1, math.gcd(8, out_ch))
+
+
+class ConvBlock(nn.Module):
+    """Conv1d(k, same) -> GroupNorm(gcd(8, C)) -> SiLU on (B, L, C)."""
+
+    out_ch: int
+    kernel: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Conv(self.out_ch, (self.kernel,), padding="SAME", dtype=self.dtype,
+                    name="conv")(x)
+        h = nn.GroupNorm(num_groups=_num_groups(self.out_ch), epsilon=1e-5,
+                         dtype=self.dtype, name="norm")(h)
+        return nn.silu(h)
+
+
+class BottleneckAttention(nn.Module):
+    """Pre-norm multi-head self-attention over the sequence axis (extension).
+
+    Zero-initialised output projection so an attention-enabled model starts
+    as the identity perturbation of the attention-free one.
+    """
+
+    num_heads: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:  # (B, L, C)
+        C = h.shape[-1]
+        heads = max(1, min(self.num_heads, C // 32 if C >= 32 else 1))
+        x = nn.GroupNorm(num_groups=_num_groups(C), epsilon=1e-5, dtype=self.dtype,
+                         name="norm")(h)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(a):
+            B, L, _ = a.shape
+            return a.reshape(B, L, heads, C // heads).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        scale = 1.0 / math.sqrt(C // heads)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        B, _, L, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, C)
+        out = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros,
+                       name="proj")(out)
+        return h + out
+
+
+def _resize_linear(x: jnp.ndarray, new_len: int) -> jnp.ndarray:
+    """Linear resize along axis 1 of (B, L, C), half-pixel centers.
+
+    Matches torch ``F.interpolate(mode='linear', align_corners=False)``
+    used by the reference for per-stage conditioning (``models.py:192``).
+    """
+    if x.shape[1] == new_len:
+        return x
+    B, _, C = x.shape
+    return jax.image.resize(x, (B, new_len, C), method="linear")
+
+
+def _fix_len(h: jnp.ndarray, target_len: int) -> jnp.ndarray:
+    """Static right pad/crop along axis 1 (ref ``models.py:218-220, 227-229``)."""
+    L = h.shape[1]
+    if L == target_len:
+        return h
+    if L < target_len:
+        return jnp.pad(h, ((0, 0), (0, target_len - L), (0, 0)))
+    return h[:, :target_len, :]
+
+
+class UNet1D(nn.Module):
+    """The flagship denoiser.  See module docstring for parity notes.
+
+    Parameters mirror the reference constructor (``models.py:78-98``):
+    ``in_ch`` is the total input channel count; ``cond_in_ch``/``use_selfcond``
+    are inferred from ``in_ch`` with the legacy rule when left None.
+    """
+
+    in_ch: int = 1
+    base_ch: int = 64
+    time_dim: int = 128
+    depth: int = 3
+    kernel: int = 3
+    t_embed_max_time: float = 999.0
+    cond_in_ch: Optional[int] = None
+    use_selfcond: Optional[bool] = None
+    use_attention: bool = False          # extension: bottleneck self-attention
+    attn_heads: int = 4
+    dtype: Optional[jnp.dtype] = None    # compute dtype (bf16 on TPU); params f32
+
+    def _layout(self):
+        use_sc = self.use_selfcond
+        if use_sc is None:
+            use_sc = self.in_ch >= 3  # legacy: 3 channels meant [x_t, y, x0_sc]
+        cond_ch = self.cond_in_ch
+        if cond_ch is None:
+            cond_ch = max(self.in_ch - 1 - (1 if use_sc else 0), 0)
+        return bool(use_sc), int(cond_ch)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
+                 channels_last: bool = False) -> jnp.ndarray:
+        """x: (B, C, L) by default (reference convention) or (B, L, C) when
+        ``channels_last=True``; t: (B,) integer timesteps.  Returns the
+        eps/x0 prediction with the same layout as the input, single channel.
+        """
+        use_sc, cond_ch = self._layout()
+        if not channels_last:
+            x = jnp.transpose(x, (0, 2, 1))  # -> (B, L, C)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        B, L0, C = x.shape
+
+        chs = [self.base_ch * (2 ** i) for i in range(self.depth)]
+
+        # time context: sinusoidal -> Dense(base_ch) -> SiLU (ref models.py:105-109)
+        t_emb = TimeEmbedding(self.time_dim, max_time=self.t_embed_max_time)(t)
+        if self.dtype is not None:
+            t_emb = t_emb.astype(self.dtype)
+        t_ctx = nn.silu(nn.Dense(self.base_ch, dtype=self.dtype, name="time_dense")(t_emb))
+
+        # split input channels (ref models.py:175-186)
+        x_t = x[:, :, :1]
+        cond = x[:, :, 1:1 + cond_ch] if cond_ch > 0 else None
+
+        def film(h, name):
+            # (B, 2C) -> gamma, beta; h*(1+gamma)+beta  (ref models.py:169-173)
+            tv = nn.Dense(2 * h.shape[-1], dtype=self.dtype, name=name)(nn.silu(t_ctx))
+            gamma, beta = jnp.split(tv, 2, axis=-1)
+            return h * (1.0 + gamma[:, None, :]) + beta[:, None, :]
+
+        def cond_bias(h, name):
+            # resize cond to stage length, 1x1 conv to stage channels
+            # (ref models.py:144-152, 188-193)
+            if cond is None:
+                return h
+            cL = _resize_linear(cond, h.shape[1])
+            return h + nn.Dense(h.shape[-1], dtype=self.dtype, name=name)(cL)
+
+        # ---------------- encoder ----------------
+        skips = []
+        h = x
+        for i, out_c in enumerate(chs):
+            h = ConvBlock(out_c, self.kernel, dtype=self.dtype, name=f"enc{i}")(h)
+            h = cond_bias(h, f"cond_enc{i}")
+            h = film(h, f"tproj_enc{i}")
+            skips.append(h)
+            h = nn.avg_pool(h, (2,), strides=(2,))
+
+        # ---------------- bottleneck ----------------
+        h = ConvBlock(chs[-1], self.kernel, dtype=self.dtype, name="mid")(h)
+        h = cond_bias(h, "cond_mid")
+        h = film(h, "tproj_mid")
+        if self.use_attention:
+            h = BottleneckAttention(num_heads=self.attn_heads, dtype=self.dtype,
+                                    name="mid_attn")(h)
+
+        # ---------------- decoder ----------------
+        for i, skip_ch in enumerate(reversed(chs)):
+            skip = skips[-(i + 1)]
+            h = jnp.repeat(h, 2, axis=1)           # nearest x2 (ref models.py:127)
+            h = _fix_len(h, skip.shape[1])
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = ConvBlock(skip_ch, self.kernel, dtype=self.dtype, name=f"dec{i}")(h)
+            h = cond_bias(h, f"cond_dec{i}")
+            h = film(h, f"tproj_dec{i}")
+
+        # final head: only x_t is skipped in; zero-init (ref models.py:131-134)
+        h = _fix_len(h, L0)
+        out = nn.Conv(1, (self.kernel,), padding="SAME", dtype=self.dtype,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      name="final")(jnp.concatenate([h, x_t], axis=-1))
+        out = out.astype(jnp.float32)
+        if not channels_last:
+            out = jnp.transpose(out, (0, 2, 1))  # -> (B, 1, L)
+        return out
+
+
+def build_net_input(x_t: jnp.ndarray, cond_stack: Optional[jnp.ndarray],
+                    selfcond: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Assemble the concatenated (B, C, L) network input in the reference's
+    channel order ``[x_t | cond | selfcond]`` (ref ``train.py:407``)."""
+    parts = [x_t]
+    if cond_stack is not None:
+        parts.append(cond_stack)
+    if selfcond is not None:
+        parts.append(selfcond)
+    return jnp.concatenate(parts, axis=1)

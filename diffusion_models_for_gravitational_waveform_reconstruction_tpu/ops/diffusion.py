@@ -1,0 +1,160 @@
+"""Forward-process math and training losses (pure functions).
+
+Reference parity:
+- ``q_sample``: ``models.py:52-59``  (x_t = sqrt(abar_t) x0 + sqrt(1-abar_t) eps)
+- eps<->x0 conversions: ``train.py:49-50``, ``inference.py:464-469``
+- masked Huber/MSE element loss: ``train.py:53-58``
+- timestep weighting (1-abar_t)^p and masked reduction: ``train.py:414-421``
+- stratified timestep sampling: ``train.py:147-172``
+
+Everything is shaped (B, C, L) at the API boundary to match the reference's
+channel convention; internally these are elementwise ops XLA fuses freely.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .schedules import DiffusionSchedule
+
+
+def _gather_ab(alpha_bar: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """alpha_bar[t] broadcast to (B, 1, 1)."""
+    return alpha_bar[t].reshape(-1, 1, 1)
+
+
+def q_sample(
+    schedule: DiffusionSchedule,
+    x0: jnp.ndarray,
+    t: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward-noise x0 to x_t; returns (x_t, eps).  Ref ``models.py:52-59``."""
+    ab = _gather_ab(schedule.alpha_bar, t)
+    eps = jax.random.normal(key, x0.shape, dtype=x0.dtype)
+    x_t = jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
+    return x_t, eps
+
+
+def q_sample_with_eps(
+    schedule: DiffusionSchedule, x0: jnp.ndarray, t: jnp.ndarray, eps: jnp.ndarray
+) -> jnp.ndarray:
+    """Forward-noise with externally supplied eps (used by parity fixtures)."""
+    ab = _gather_ab(schedule.alpha_bar, t)
+    return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
+
+
+def eps_to_x0(
+    schedule: DiffusionSchedule, x_t: jnp.ndarray, eps_hat: jnp.ndarray, t: jnp.ndarray
+) -> jnp.ndarray:
+    """x0_hat = (x_t - sqrt(1-abar) eps_hat) / sqrt(abar).  Ref ``train.py:49-50``."""
+    ab = _gather_ab(schedule.alpha_bar, t)
+    return (x_t - jnp.sqrt(1.0 - ab) * eps_hat) / jnp.sqrt(ab)
+
+
+def x0_to_eps(
+    schedule: DiffusionSchedule, x_t: jnp.ndarray, x0_hat: jnp.ndarray, t: jnp.ndarray
+) -> jnp.ndarray:
+    """eps_hat from an x0 prediction.  Ref ``inference.py:469``."""
+    ab = _gather_ab(schedule.alpha_bar, t)
+    return (x_t - jnp.sqrt(ab) * x0_hat) / jnp.sqrt(jnp.clip(1.0 - ab, 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def element_loss(
+    eps_hat: jnp.ndarray,
+    eps: jnp.ndarray,
+    mask: jnp.ndarray,
+    loss_type: str = "huber",
+    huber_beta: float = 0.5,
+) -> jnp.ndarray:
+    """Masked per-element loss.  Ref ``train.py:53-58``.
+
+    'huber' matches torch smooth_l1 with beta: 0.5 d^2/beta for |d|<beta,
+    else |d| - 0.5 beta.  'mse' is plain squared error.
+    """
+    d = eps_hat - eps
+    if loss_type == "huber":
+        ad = jnp.abs(d)
+        el = jnp.where(ad < huber_beta, 0.5 * d * d / huber_beta, ad - 0.5 * huber_beta)
+    elif loss_type == "mse":
+        el = d * d
+    else:
+        raise ValueError(f"unknown loss type: {loss_type!r}")
+    return el * mask
+
+
+def masked_loss(
+    eps_hat: jnp.ndarray,
+    eps: jnp.ndarray,
+    mask: jnp.ndarray,
+    t: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    loss_type: str = "huber",
+    huber_beta: float = 0.5,
+    loss_weight_power: float = 0.0,
+) -> jnp.ndarray:
+    """Full training loss: element loss, optional (1-abar_t)^p weighting,
+    per-sample masked mean, then batch mean.  Ref ``train.py:411-421``."""
+    el = element_loss(eps_hat, eps, mask, loss_type, huber_beta)
+    if loss_weight_power != 0.0:
+        ab = _gather_ab(schedule.alpha_bar, t)
+        el = el * jnp.power(1.0 - ab, loss_weight_power)
+    denom = jnp.clip(mask.sum(axis=(1, 2)), 1.0)
+    per_sample = el.sum(axis=(1, 2)) / denom
+    return per_sample.mean()
+
+
+# ---------------------------------------------------------------------------
+# Timestep sampling  (ref train.py:146-172, 353-376)
+# ---------------------------------------------------------------------------
+
+def sample_timesteps_uniform(
+    key: jax.Array, bsz: int, t_min: int, t_max: int
+) -> jnp.ndarray:
+    """t ~ U{t_min..t_max} per item (ref ``train.py:376``; t_max inclusive)."""
+    return jax.random.randint(key, (bsz,), t_min, t_max + 1)
+
+
+def sample_timesteps_stratified(
+    key: jax.Array, bsz: int, t_min: int, t_max: int, bins: int = 0
+) -> jnp.ndarray:
+    """Stratified coverage of [t_min, t_max] within a batch (ref ``train.py:147-172``).
+
+    ``bins``/``bsz``/``t_min``/``t_max`` must be static (they shape the
+    computation).  Each of ``b`` strata draws its share of the batch uniformly
+    from its sub-range, then the result is shuffled.
+    """
+    b = int(bins) if bins and bins > 0 else int(bsz)
+    b = max(1, min(b, bsz))
+    edges = jnp.linspace(t_min, t_max + 1, b + 1).astype(jnp.int32)
+    q, r = divmod(bsz, b)
+    counts = [q + 1 if i < r else q for i in range(b)]
+    k_draw, k_perm = jax.random.split(key)
+    pieces = []
+    keys = jax.random.split(k_draw, b)
+    for i in range(b):
+        if counts[i] <= 0:
+            continue
+        lo = edges[i]
+        hi = jnp.maximum(edges[i + 1] - 1, lo)
+        # uniform integers in [lo, hi] with traced bounds: u in [0,1) scaled
+        u = jax.random.uniform(keys[i], (counts[i],))
+        pieces.append(lo + jnp.floor(u * (hi - lo + 1)).astype(jnp.int32))
+    t = jnp.concatenate(pieces, axis=0)
+    return jax.random.permutation(k_perm, t)
+
+
+def repeat_for_t_multi(tree, K: int):
+    """Repeat every batch item K times along axis 0 (ref ``train.py:358-369``)."""
+    if K <= 1:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: jnp.repeat(a, K, axis=0) if hasattr(a, "ndim") and a.ndim > 0 else a,
+        tree,
+    )

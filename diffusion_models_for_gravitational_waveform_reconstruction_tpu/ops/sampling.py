@@ -1,0 +1,372 @@
+"""Reverse-process samplers as jit-compiled ``lax.scan`` loops.
+
+Reference parity: the DDIM sampler mirrors
+``/root/reference/src/snr_denoising/inference.py:374-514`` — schedule builder,
+start-SNR selection, init modes (noise / scaled-noise / y-blend / oracle),
+scheduled CFG with the unconditional-only and skip-uncond shortcuts, y-only
+CFG dropout, eps/x0 prediction types, data-consistency blending,
+self-conditioning channel updates, and the eta-noise DDIM update.  The
+one-step proxy mirrors ``inference.py:317-371``.
+
+TPU-first design (deliberately different from the reference's Python loop):
+
+- the whole reverse trajectory is ONE ``lax.scan`` — one compilation, no
+  host round-trips per step; batch-of-samples and batch-of-knob evaluation
+  is a ``vmap`` away (the reference loops in Python: ``sweep_infer.py:205-243``).
+- the reference's runtime branch between 1 and 2 model forwards per step
+  (``inference.py:444-460``) becomes a *trace-time* linear combination
+  ``out = cu*out_u + cc*out_c`` (see ``schedules.cfg_combination_coeffs``);
+  when guidance is entirely off we compile a single-forward scan instead.
+- cond+uncond run as one model call on a doubled batch, keeping the MXU fed.
+- the ``t==0`` special case (``inference.py:479``) vanishes: the final step
+  uses ``alpha_bar_prev = 1`` which reduces the DDIM update to ``x0_hat``.
+
+An ancestral DDPM sampler (``ddpm_sample``) is provided as an extension —
+the reference only has DDIM (eta>0 makes it ancestral-like but there is no
+separate DDPM loop).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedules import (
+    DiffusionSchedule,
+    build_t_schedule,
+    cfg_combination_coeffs,
+    cfg_weight_schedule,
+)
+
+# model_fn(params, net_in (B,C,L), t (B,)) -> (B,1,L)
+ModelFn = Callable[[dict, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Static sampler knobs (hashable -> usable as jit static arg).
+
+    Field names track the reference CLI (``inference.py:529-577``).
+    """
+
+    steps: int = 200
+    eta: float = 0.0
+    start_t: Optional[int] = None
+    init_mode: str = "noise"            # noise | scaled-noise | y-blend
+    x0_std_est: float = 0.14
+    dc_weight: float = 0.0
+    cond_scale: float = 1.0
+    eps_scale: float = 1.0
+    pred_type: str = "eps"              # eps | x0
+    use_selfcond: bool = True
+    cfg_scale: float = 1.5
+    cfg_mode: str = "const"             # const | tophat | gauss
+    cfg_center: float = 0.70
+    cfg_width: float = 0.12
+    cfg_u_only_thresh: float = 0.05
+    drop_y_only: bool = True
+    oracle_init: bool = False
+
+
+def _make_uncond(cond_used: jnp.ndarray, drop_y_only: bool) -> jnp.ndarray:
+    """Unconditional stack: zero y only (keep metadata) or zero everything.
+
+    Ref ``inference.py:446, 457``.
+    """
+    if drop_y_only and cond_used.shape[1] > 1:
+        return jnp.concatenate(
+            [jnp.zeros_like(cond_used[:, :1]), cond_used[:, 1:]], axis=1
+        )
+    return jnp.zeros_like(cond_used)
+
+
+def _net_in(x_t, cond, sc, use_selfcond):
+    parts = [x_t, cond] + ([sc] if use_selfcond else [])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _init_x(cfg: SamplerConfig, key, batch, length, ab_start, y_chan, x0_std_est,
+            schedule, clean_norm, start_t, dtype):
+    """Initial x_T (ref ``inference.py:403-417``)."""
+    if cfg.oracle_init:
+        if clean_norm is None:
+            raise ValueError("oracle_init requires clean_norm")
+        eps = jax.random.normal(key, clean_norm.shape, dtype)
+        return jnp.sqrt(ab_start) * clean_norm + jnp.sqrt(1.0 - ab_start) * eps
+    if cfg.init_mode == "noise":
+        return jax.random.normal(key, (batch, 1, length), dtype)
+    if cfg.init_mode == "scaled-noise":
+        std_init = jnp.sqrt(ab_start * (x0_std_est ** 2) + (1.0 - ab_start))
+        return std_init * jax.random.normal(key, (batch, 1, length), dtype)
+    if cfg.init_mode == "y-blend":
+        z = jax.random.normal(key, (batch, 1, length), dtype)
+        return jnp.sqrt(ab_start) * y_chan + jnp.sqrt(1.0 - ab_start) * z
+    raise ValueError(f"unknown init_mode: {cfg.init_mode!r}")
+
+
+def ddim_sample(
+    model_fn: ModelFn,
+    params,
+    schedule: DiffusionSchedule,
+    cond_stack: jnp.ndarray,          # (B, cond_in_ch, L)
+    key: jax.Array,
+    cfg: SamplerConfig,
+    clean_norm: Optional[jnp.ndarray] = None,   # (B,1,L), for oracle init
+    x0_std_est: Optional[float] = None,
+    collect_diagnostics: bool = False,
+):
+    """Run the DDIM reverse process; returns x0_hat_norm (B, 1, L).
+
+    With ``collect_diagnostics=True`` also returns a dict of per-step arrays
+    (t, alpha_bar, cfg weight, zero-lag corr of x_t vs y) — the on-device
+    analogue of the reference's per-step JSONL (``inference.py:491-512``).
+    """
+    B, _, L = cond_stack.shape
+    T = schedule.T
+    dtype = cond_stack.dtype
+
+    # ---- host-side (trace-time) schedule construction ----
+    t_sched = build_t_schedule(T, cfg.steps, cfg.start_t)
+    N = len(t_sched)
+    ab_np = np.asarray(schedule.alpha_bar, dtype=np.float64).clip(1e-12, 1.0)
+    ab_t_np = ab_np[t_sched]
+    ab_prev_np = np.concatenate([ab_np[t_sched[1:]], [1.0]])
+    w_np = cfg_weight_schedule(N, cfg.cfg_mode, cfg.cfg_scale, cfg.cfg_center,
+                               cfg.cfg_width)
+    cu_np, cc_np = cfg_combination_coeffs(w_np, cfg.cfg_u_only_thresh)
+    need_uncond = bool(np.any(cu_np != 0.0))
+
+    xs = {
+        "i": jnp.arange(N),
+        "t": jnp.asarray(t_sched, jnp.int32),
+        "ab_t": jnp.asarray(ab_t_np, jnp.float32),
+        "ab_prev": jnp.asarray(ab_prev_np, jnp.float32),
+        "cu": jnp.asarray(cu_np, jnp.float32),
+        "cc": jnp.asarray(cc_np, jnp.float32),
+        "w": jnp.asarray(w_np, jnp.float32),
+    }
+
+    y_chan = cond_stack[:, :1, :]
+    y_used = cfg.cond_scale * y_chan
+    cond_used = (
+        jnp.concatenate([y_used, cond_stack[:, 1:, :]], axis=1)
+        if cond_stack.shape[1] > 1 else y_used
+    )
+    cond_u = _make_uncond(cond_used, cfg.drop_y_only)
+
+    ab_start = jnp.asarray(ab_t_np[0], dtype)
+    x0_std = cfg.x0_std_est if x0_std_est is None else x0_std_est
+    k_init, k_loop = jax.random.split(key)
+    x_init = _init_x(cfg, k_init, B, L, ab_start, y_chan, x0_std, schedule,
+                     clean_norm, int(t_sched[0]), dtype)
+    sc_init = jnp.zeros_like(x_init)
+
+    def step(carry, s):
+        x_t, x0_sc = carry
+        t_b = jnp.full((B,), s["t"], jnp.int32)
+        ab_t = s["ab_t"]
+        ab_prev = s["ab_prev"]
+
+        if need_uncond:
+            # one forward on the doubled batch keeps the MXU busy
+            net_c = _net_in(x_t, cond_used, x0_sc, cfg.use_selfcond)
+            net_u = _net_in(x_t, cond_u, x0_sc, cfg.use_selfcond)
+            both = jnp.concatenate([net_c, net_u], axis=0)
+            t2 = jnp.concatenate([t_b, t_b], axis=0)
+            out2 = model_fn(params, both, t2)
+            out_c, out_u = out2[:B], out2[B:]
+            out = s["cu"] * out_u + s["cc"] * out_c
+        else:
+            out = model_fn(params, _net_in(x_t, cond_used, x0_sc, cfg.use_selfcond), t_b)
+
+        if cfg.pred_type == "eps":
+            eps_hat = cfg.eps_scale * out
+            x0_hat = (x_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+        else:
+            x0_hat = out
+            eps_hat = (x_t - jnp.sqrt(ab_t) * x0_hat) / jnp.sqrt(
+                jnp.clip(1.0 - ab_t, 1e-12))
+
+        if cfg.dc_weight > 0:
+            x0_hat = (1.0 - cfg.dc_weight) * x0_hat + cfg.dc_weight * y_chan
+
+        x0_sc_next = x0_hat if cfg.use_selfcond else x0_sc
+
+        # DDIM update; at the last step ab_prev==1 -> x_next == x0_hat exactly
+        sigma_t = cfg.eta * jnp.sqrt(
+            jnp.clip((1.0 - ab_prev) / (1.0 - ab_t), 0.0)
+            * jnp.clip(1.0 - ab_t / ab_prev, 0.0)
+        )
+        dir_xt = jnp.sqrt(jnp.clip(1.0 - ab_prev - sigma_t ** 2, 0.0)) * eps_hat
+        if cfg.eta > 0:
+            z = jax.random.normal(jax.random.fold_in(k_loop, s["i"]), x_t.shape, dtype)
+            noise = sigma_t * z
+        else:
+            noise = 0.0
+        x_next = jnp.sqrt(ab_prev) * x0_hat + dir_xt + noise
+
+        if collect_diagnostics:
+            a = x_next.reshape(B, -1) - x_next.reshape(B, -1).mean(axis=1, keepdims=True)
+            b = y_chan.reshape(B, -1) - y_chan.reshape(B, -1).mean(axis=1, keepdims=True)
+            corr = (a * b).sum(axis=1) / (
+                jnp.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1)) + 1e-30)
+            diag = {"t": s["t"], "alpha_bar": ab_t, "cfg_w": s["w"], "corr": corr}
+        else:
+            diag = None
+        return (x_next, x0_sc_next), diag
+
+    (x_final, _), diags = jax.lax.scan(step, (x_init, sc_init), xs)
+    if collect_diagnostics:
+        return x_final, diags
+    return x_final
+
+
+def ddpm_sample(
+    model_fn: ModelFn,
+    params,
+    schedule: DiffusionSchedule,
+    cond_stack: jnp.ndarray,
+    key: jax.Array,
+    cfg: SamplerConfig,
+    clean_norm: Optional[jnp.ndarray] = None,
+):
+    """Ancestral DDPM sampler (extension; BASELINE config 2).
+
+    Uses the exact posterior q(x_{t-1} | x_t, x0_hat):
+      mean = 1/sqrt(alpha_t) (x_t - beta_t/sqrt(1-abar_t) eps_hat)
+      var  = beta_t (1-abar_{t-1}) / (1-abar_t)
+    over the (possibly strided) ladder from ``build_t_schedule``.  Shares the
+    CFG/conditioning machinery with :func:`ddim_sample`.
+    """
+    B, _, L = cond_stack.shape
+    T = schedule.T
+    dtype = cond_stack.dtype
+
+    t_sched = build_t_schedule(T, cfg.steps, cfg.start_t)
+    N = len(t_sched)
+    ab_np = np.asarray(schedule.alpha_bar, np.float64).clip(1e-12, 1.0)
+    betas_np = np.asarray(schedule.betas, np.float64)
+    alphas_np = 1.0 - betas_np
+    ab_t_np = ab_np[t_sched]
+    ab_prev_np = np.concatenate([ab_np[t_sched[1:]], [1.0]])
+    w_np = cfg_weight_schedule(N, cfg.cfg_mode, cfg.cfg_scale, cfg.cfg_center,
+                               cfg.cfg_width)
+    cu_np, cc_np = cfg_combination_coeffs(w_np, cfg.cfg_u_only_thresh)
+    need_uncond = bool(np.any(cu_np != 0.0))
+    is_last_np = np.arange(N) == (N - 1)
+
+    xs = {
+        "i": jnp.arange(N),
+        "t": jnp.asarray(t_sched, jnp.int32),
+        "ab_t": jnp.asarray(ab_t_np, jnp.float32),
+        "ab_prev": jnp.asarray(ab_prev_np, jnp.float32),
+        "alpha_t": jnp.asarray(alphas_np[t_sched], jnp.float32),
+        "cu": jnp.asarray(cu_np, jnp.float32),
+        "cc": jnp.asarray(cc_np, jnp.float32),
+        "last": jnp.asarray(is_last_np),
+    }
+
+    y_chan = cond_stack[:, :1, :]
+    y_used = cfg.cond_scale * y_chan
+    cond_used = (
+        jnp.concatenate([y_used, cond_stack[:, 1:, :]], axis=1)
+        if cond_stack.shape[1] > 1 else y_used
+    )
+    cond_u = _make_uncond(cond_used, cfg.drop_y_only)
+
+    ab_start = jnp.asarray(ab_t_np[0], dtype)
+    k_init, k_loop = jax.random.split(key)
+    x_init = _init_x(cfg, k_init, B, L, ab_start, y_chan, cfg.x0_std_est, schedule,
+                     clean_norm, int(t_sched[0]), dtype)
+    sc_init = jnp.zeros_like(x_init)
+
+    def step(carry, s):
+        x_t, x0_sc = carry
+        t_b = jnp.full((B,), s["t"], jnp.int32)
+        ab_t, ab_prev, alpha_t = s["ab_t"], s["ab_prev"], s["alpha_t"]
+
+        if need_uncond:
+            net_c = _net_in(x_t, cond_used, x0_sc, cfg.use_selfcond)
+            net_u = _net_in(x_t, cond_u, x0_sc, cfg.use_selfcond)
+            out2 = model_fn(params, jnp.concatenate([net_c, net_u], 0),
+                            jnp.concatenate([t_b, t_b], 0))
+            out = s["cu"] * out2[B:] + s["cc"] * out2[:B]
+        else:
+            out = model_fn(params, _net_in(x_t, cond_used, x0_sc, cfg.use_selfcond), t_b)
+
+        if cfg.pred_type == "eps":
+            eps_hat = cfg.eps_scale * out
+            x0_hat = (x_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+        else:
+            x0_hat = out
+            eps_hat = (x_t - jnp.sqrt(ab_t) * x0_hat) / jnp.sqrt(
+                jnp.clip(1.0 - ab_t, 1e-12))
+
+        if cfg.dc_weight > 0:
+            x0_hat = (1.0 - cfg.dc_weight) * x0_hat + cfg.dc_weight * y_chan
+        x0_sc_next = x0_hat if cfg.use_selfcond else x0_sc
+
+        # posterior mean/variance parameterised via x0_hat (valid for strided
+        # ladders too: q(x_s | x_t, x0) with s<t)
+        denom = jnp.clip(1.0 - ab_t, 1e-12)
+        coef0 = jnp.sqrt(ab_prev) * (1.0 - ab_t / ab_prev) / denom
+        coeft = jnp.sqrt(ab_t / ab_prev) * (1.0 - ab_prev) / denom
+        mean = coef0 * x0_hat + coeft * x_t
+        var = jnp.clip((1.0 - ab_prev) / denom * (1.0 - ab_t / ab_prev), 0.0)
+        z = jax.random.normal(jax.random.fold_in(k_loop, s["i"]), x_t.shape, dtype)
+        x_next = jnp.where(s["last"], x0_hat, mean + jnp.sqrt(var) * z)
+        return (x_next, x0_sc_next), None
+
+    (x_final, _), _ = jax.lax.scan(step, (x_init, sc_init), xs)
+    return x_final
+
+
+def one_step_proxy(
+    model_fn: ModelFn,
+    params,
+    schedule: DiffusionSchedule,
+    clean_norm: jnp.ndarray,          # (B,1,L)
+    cond_stack: jnp.ndarray,          # (B,cond_in_ch,L)
+    key: jax.Array,
+    target_snr: float,
+    cfg: SamplerConfig,
+) -> jnp.ndarray:
+    """Diagnostic single-step reconstruction (ref ``inference.py:317-371``).
+
+    Picks t whose SNR matches ``target_snr``, forward-noises clean, runs one
+    (optionally CFG-combined) denoise, and returns x0_hat_norm.
+    """
+    from .schedules import t_for_target_snr
+
+    B = clean_norm.shape[0]
+    t_pick = t_for_target_snr(schedule, target_snr)
+    t_b = jnp.full((B,), t_pick, jnp.int32)
+    ab_t = schedule.alpha_bar[t_pick]
+
+    eps = jax.random.normal(key, clean_norm.shape, clean_norm.dtype)
+    x_t = jnp.sqrt(ab_t) * clean_norm + jnp.sqrt(1.0 - ab_t) * eps
+    sc = jnp.zeros_like(x_t)
+
+    y_chan = cond_stack[:, :1, :]
+    y_used = cfg.cond_scale * y_chan
+    cond_used = (
+        jnp.concatenate([y_used, cond_stack[:, 1:, :]], axis=1)
+        if cond_stack.shape[1] > 1 else y_used
+    )
+
+    out_c = model_fn(params, _net_in(x_t, cond_used, sc, cfg.use_selfcond), t_b)
+    if cfg.cfg_scale != 1.0:
+        cond_u = _make_uncond(cond_used, cfg.drop_y_only)
+        out_u = model_fn(params, _net_in(x_t, cond_u, sc, cfg.use_selfcond), t_b)
+        out = out_u + cfg.cfg_scale * (out_c - out_u)
+    else:
+        out = out_c
+
+    if cfg.pred_type == "eps":
+        eps_hat = cfg.eps_scale * out
+        return (x_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+    return out
