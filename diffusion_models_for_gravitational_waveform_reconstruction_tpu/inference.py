@@ -1,0 +1,364 @@
+"""Reconstruction engine: checkpoint -> conditioned DDIM/DDPM sampling ->
+de-whitened strain + metrics.
+
+Reference parity (``/root/reference/src/snr_denoising/inference.py:517-903``):
+measurement loading from HDF5/npy, architecture rebuild from checkpoint args
+(no CLI arch flags), EMA-preferred weights, whitening resolution with the
+'auto' cascade model -> welch -> train (``inference.py:656-700``), sigma in
+the conditioning domain with hardcoded per-domain fallbacks overridable via
+``fallback_sigma.json`` (``inference.py:703-717``), metadata channel stacks
+in the fixed order [m1, m2, s1, s2, q, Mc] with dataset-adaptive scales
+(``inference.py:96-122``), start-t from a target SNR, auto run-tags from the
+knob values (``inference.py:753-763``), de-whitening back to strain
+(``inference.py:819-826``) and tail-window metrics JSON.
+
+TPU-first: the sampler is a jitted ``lax.scan`` (see ``ops/sampling.py``);
+``reconstruct_batch`` evaluates MANY measurements in one program — the
+building block the sweep/grid harnesses use instead of the reference's
+serial Python loops.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import hdf5io
+from .data.pipeline import (
+    pick_sigma_np,
+    whiten_model_np,
+    whiten_train_like_np,
+    whiten_welch_np,
+)
+from .models.unet import UNet1D
+from .ops.sampling import SamplerConfig, ddim_sample, ddpm_sample, one_step_proxy
+from .ops.schedules import (
+    make_schedule,
+    snr_from_alpha_bar,
+    t_for_target_snr,
+)
+from .utils.checkpoint import load_checkpoint, restore_params, select_weights
+
+SIGMA_FALLBACK = {"train": 2.914e-12, "welch": 2.914e-16, "model": 2.914e-16,
+                  "raw": 2.914e-12}
+
+
+# ---------------------------------------------------------------------------
+# Model loading
+# ---------------------------------------------------------------------------
+
+def load_model(ckpt_path: str, use_ema: bool = True):
+    """Rebuild the UNet + schedule from checkpoint args (ref
+    ``inference.py:614-653``).  Returns (model, params, schedule, ck_args)."""
+    ckpt = load_checkpoint(ckpt_path)
+    ck = ckpt["args"]
+    in_ch = int(ck.get("in_ch", 3))
+    cond_in_ch = int(ck.get("cond_in_ch", 1))
+    T = int(ck.get("T", 1000))
+    use_selfcond = in_ch == (1 + cond_in_ch + 1)
+    model = UNet1D(
+        in_ch=in_ch,
+        base_ch=int(ck.get("base_ch", 64)),
+        time_dim=int(ck.get("time_dim", 128)),
+        depth=int(ck.get("depth", 3)),
+        t_embed_max_time=max(0, T - 1),
+        cond_in_ch=cond_in_ch,
+        use_selfcond=use_selfcond,
+        use_attention=bool(ck.get("use_attention", False)),
+        dtype=jnp.bfloat16 if ck.get("bf16", False) else None,
+    )
+    # init a skeleton to get the tree structure, then restore
+    x0 = jnp.zeros((1, in_ch, 64))
+    params_t = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
+    weights, used_ema = select_weights(ckpt, use_ema=use_ema)
+    params = restore_params(params_t, weights)
+    print(f"[infer] loaded {'EMA' if used_ema else 'raw'} weights from {ckpt_path}")
+    schedule = make_schedule(T, ck.get("schedule", "cosine"))
+    return model, params, schedule, ck
+
+
+# ---------------------------------------------------------------------------
+# Metadata stack (ref inference.py:96-122)
+# ---------------------------------------------------------------------------
+
+def meta_to_stack(meta: dict, L: int, cond_in_ch: int, M_SCALE: float,
+                  Q_SCALE: float) -> Optional[np.ndarray]:
+    """(C_meta, L) channels in the fixed order [m1, m2, s1, s2, q, Mc];
+    masses and chirp mass / M_SCALE, q clipped to [0, Q_SCALE] / Q_SCALE."""
+    C = max(0, cond_in_ch - 1)
+    if C <= 0:
+        return None
+
+    def tile(v):
+        return np.full((L,), float(v), np.float32)
+
+    qv = meta.get("q", 0.0)
+    if not np.isfinite(qv):
+        qv = 0.0
+    rows = [
+        tile(meta.get("mass1", 0.0) / max(M_SCALE, 1e-9)),
+        tile(meta.get("mass2", 0.0) / max(M_SCALE, 1e-9)),
+        tile(meta.get("spin1z", 0.0)),
+        tile(meta.get("spin2z", 0.0)),
+        tile(min(max(qv, 0.0), Q_SCALE) / max(Q_SCALE, 1e-9)),
+        tile(meta.get("chirp_mass", 0.0) / max(M_SCALE, 1e-9)),
+    ]
+    arr = np.stack(rows[:C], axis=0)
+    if arr.shape[0] < C:
+        arr = np.concatenate(
+            [arr, np.zeros((C - arr.shape[0], L), np.float32)], axis=0)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# Measurement prep: whitening resolution + sigma + cond stack
+# ---------------------------------------------------------------------------
+
+def sigma_fallbacks(ckpt_path: Optional[str]) -> Dict[str, float]:
+    """Hardcoded per-domain fallbacks, overridable by a ``fallback_sigma.json``
+    next to the checkpoint (ref ``inference.py:706-717``)."""
+    fallback = dict(SIGMA_FALLBACK)
+    if ckpt_path:
+        try:
+            with open(os.path.join(os.path.dirname(ckpt_path),
+                                   "fallback_sigma.json")) as fh:
+                fb = json.load(fh)
+            for k in list(fallback.keys()):
+                if k in fb and "median" in fb[k]:
+                    fallback[k] = float(fb[k]["median"])
+        except Exception:
+            pass
+    return fallback
+
+
+def prepare_measurement(
+    y_raw: np.ndarray,
+    clean_raw: Optional[np.ndarray],
+    fs: float,
+    P_model: Optional[np.ndarray],
+    welch_in: Tuple[Optional[np.ndarray], Optional[np.ndarray]],
+    meta: dict,
+    *,
+    cond_in_ch: int,
+    M_SCALE: float = 80.0,
+    Q_SCALE: float = 10.0,
+    whiten: bool = False,
+    whiten_mode: str = "auto",
+    sigma_mode: str = "std",
+    sigma_fixed: float = 1.0,
+    ckpt_path: Optional[str] = None,
+) -> dict:
+    """Whiten, normalise and stack one measurement for sampling.
+
+    'auto' prefers model -> welch -> train (ref ``inference.py:660-679``;
+    the sweep/grid harnesses in the reference used welch-first — a noted
+    inconsistency (SURVEY.md §2, sweep-prep row) that this rebuild
+    normalises to the inference order everywhere).
+    """
+    from numpy.fft import irfft, rfft, rfftfreq
+    from scipy.signal import welch as scipy_welch
+
+    L = len(y_raw)
+    fw_in, Pw_in = welch_in
+    kind = "raw"
+    P_train = freqs_P = P_model_used = None
+    y_c, clean_c = y_raw, clean_raw
+
+    if whiten:
+        mode = whiten_mode
+        if mode == "auto":
+            if P_model is not None:
+                mode = "model"
+            elif fw_in is not None and Pw_in is not None:
+                mode = "saved-welch"
+            else:
+                mode = "train"
+        if mode == "model" and P_model is None:
+            mode = "train"
+        if mode == "model":
+            x = clean_raw if clean_raw is not None else np.zeros_like(y_raw)
+            y_c, clean_c, P_model_used = whiten_model_np(y_raw, x, P_model, fs,
+                                                         eps=1e-12)
+            clean_c = clean_c if clean_raw is not None else None
+            kind = "model"
+        elif mode == "saved-welch":
+            # saved per-sample Welch PSD interpolated onto the rfft grid
+            f_tgt = rfftfreq(L, 1.0 / fs)
+            P = np.interp(f_tgt, fw_in, Pw_in, left=Pw_in[0], right=Pw_in[-1])
+            Y = rfft(y_raw.astype(np.float64))
+            y_c = irfft(Y / np.sqrt(P + 1e-12), n=L).astype(np.float32)
+            if clean_raw is not None:
+                X = rfft(clean_raw.astype(np.float64))
+                clean_c = irfft(X / np.sqrt(P + 1e-12), n=L).astype(np.float32)
+            else:
+                clean_c = None
+            freqs_P = (f_tgt, P)
+            kind = "welch"
+        elif mode == "welch":
+            # estimate a fresh Welch PSD from the measurement itself
+            f_w, P_w = scipy_welch(y_raw, fs=fs, nperseg=min(4096, L))
+            x = clean_raw if clean_raw is not None else np.zeros_like(y_raw)
+            y_c, clean_c, P = whiten_welch_np(y_raw, x, f_w, P_w, fs, eps=1e-12)
+            clean_c = clean_c if clean_raw is not None else None
+            freqs_P = (rfftfreq(L, 1.0 / fs), P)
+            kind = "welch"
+        else:  # 'train'
+            x = clean_raw if clean_raw is not None else np.zeros_like(y_raw)
+            y_c, clean_c, P_train = whiten_train_like_np(y_raw, x)
+            clean_c = clean_c if clean_raw is not None else None
+            kind = "train"
+
+    sigma = pick_sigma_np(np.asarray(y_c), sigma_mode, sigma_fixed)
+    fb = sigma_fallbacks(ckpt_path)
+    if (not np.isfinite(sigma)) or sigma < 1e-20:
+        sigma = fb.get(kind, fb["train"])
+        print(f"[warn] sigma degenerate; fallback={sigma:.3e} (mode={kind})")
+
+    y_norm = (np.asarray(y_c) / sigma).astype(np.float32)[None, None, :]
+    clean_norm = None
+    if clean_c is not None:
+        clean_norm = (np.asarray(clean_c) / sigma).astype(np.float32)[None, None, :]
+
+    if cond_in_ch <= 1:
+        cond_stack = y_norm
+    else:
+        arr = meta_to_stack(meta, L, cond_in_ch, M_SCALE, Q_SCALE)
+        if arr is None:
+            arr = np.zeros((cond_in_ch - 1, L), np.float32)
+        cond_stack = np.concatenate([y_norm, arr[None]], axis=1)
+
+    return {
+        "y_raw": y_raw, "clean_raw": clean_raw, "y_for_cond": np.asarray(y_c),
+        "clean_for_cond": (np.asarray(clean_c) if clean_c is not None else None),
+        "y_norm": y_norm, "clean_norm": clean_norm, "cond_stack": cond_stack,
+        "sigma": float(sigma), "fs": float(fs), "L": L,
+        "whiten_kind_used": kind, "P_train": P_train, "freqs_P": freqs_P,
+        "P_model_used": P_model_used,
+    }
+
+
+def dewhiten_back(x: np.ndarray, prep: dict) -> np.ndarray:
+    """Invert whatever whitening ``prepare_measurement`` applied (ref
+    ``inference.py:819-826``)."""
+    from numpy.fft import irfft, rfft
+
+    kind = prep["whiten_kind_used"]
+    L = len(x)
+    if kind == "train":
+        return irfft(rfft(x) * np.sqrt(prep["P_train"] + 1e-12), n=L)
+    if kind == "welch":
+        _, P = prep["freqs_P"]
+        return irfft(rfft(x) * np.sqrt(P + 1e-12), n=L)
+    if kind == "model":
+        return irfft(rfft(x) * np.sqrt(prep["P_model_used"] + 1e-12), n=L)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction
+# ---------------------------------------------------------------------------
+
+def resolve_start_t(schedule, start_t: Optional[int], start_snr: Optional[float]):
+    """--start-snr wins over --start-t (ref ``inference.py:749-751``)."""
+    if start_snr is not None:
+        return t_for_target_snr(schedule, start_snr)
+    return start_t
+
+
+def make_run_tag(mode: str, cfg: SamplerConfig, schedule, whiten: bool,
+                 whiten_mode: str, sigma_mode: str) -> str:
+    """Auto run-tag from knob values (ref ``inference.py:753-763``)."""
+    start_t_eff = (schedule.T - 1) if cfg.start_t is None else int(cfg.start_t)
+    snr_eff = snr_from_alpha_bar(schedule.alpha_bar)[start_t_eff]
+    tag = (f"{mode}_t{start_t_eff}_snr{snr_eff:.1f}_steps{cfg.steps}"
+           f"_eta{cfg.eta}_cfg{cfg.cfg_scale}_cfgmode-{cfg.cfg_mode}"
+           f"_ctr{cfg.cfg_center}_w{cfg.cfg_width}_init-{cfg.init_mode}"
+           f"_pred-{cfg.pred_type}_dc{cfg.dc_weight}_cond{cfg.cond_scale}"
+           f"_eps{cfg.eps_scale}_{'white' if whiten else 'raw'}"
+           f"_{whiten_mode}_{sigma_mode}")
+    return tag.replace(".", "p")
+
+
+def reconstruct(
+    model: UNet1D,
+    params,
+    schedule,
+    prep: dict,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    sampler: str = "ddim",
+    collect_diagnostics: bool = False,
+):
+    """Sample x0 for one prepared measurement; returns (x0_hat_raw strain,
+    x0_hat_white, diagnostics|None)."""
+
+    def model_fn(p, x, t):
+        return model.apply(p, x, t)
+
+    cond = jnp.asarray(prep["cond_stack"])
+    clean_norm = (jnp.asarray(prep["clean_norm"])
+                  if prep["clean_norm"] is not None else None)
+    x0_std = cfg.x0_std_est
+    if prep["clean_for_cond"] is not None:
+        x0_std = float(np.std(prep["clean_for_cond"] / prep["sigma"]))
+
+    sample_fn = ddim_sample if sampler == "ddim" else ddpm_sample
+    if sampler == "ddim":
+        out = sample_fn(model_fn, params, schedule, cond, key, cfg,
+                        clean_norm=clean_norm, x0_std_est=x0_std,
+                        collect_diagnostics=collect_diagnostics)
+        x0_norm, diag = out if collect_diagnostics else (out, None)
+    else:
+        x0_norm = sample_fn(model_fn, params, schedule, cond, key, cfg,
+                            clean_norm=clean_norm)
+        diag = None
+
+    x0_white = np.asarray(x0_norm).ravel() * prep["sigma"]
+    x0_raw = dewhiten_back(x0_white, prep)
+    return x0_raw, x0_white, diag
+
+
+def reconstruct_batch(
+    model: UNet1D,
+    params,
+    schedule,
+    cond_stacks: np.ndarray,       # (B, cond_in_ch, L) — same length samples
+    sigmas: np.ndarray,            # (B,)
+    cfg: SamplerConfig,
+    key: jax.Array,
+    clean_norms: Optional[np.ndarray] = None,
+    sampler: str = "ddim",
+) -> np.ndarray:
+    """Batched sampling: one jitted scan over B measurements at once (the
+    reference loops samples serially, ``sweep_infer.py:205-243``).
+
+    Returns whitened-domain reconstructions (B, L).
+    """
+
+    def model_fn(p, x, t):
+        return model.apply(p, x, t)
+
+    sample_fn = ddim_sample if sampler == "ddim" else ddpm_sample
+    cn = jnp.asarray(clean_norms) if clean_norms is not None else None
+    x0_norm = sample_fn(model_fn, params, schedule, jnp.asarray(cond_stacks),
+                        key, cfg, clean_norm=cn)
+    return np.asarray(x0_norm)[:, 0, :] * np.asarray(sigmas)[:, None]
+
+
+def proxy_reconstruct(model, params, schedule, prep: dict, cfg: SamplerConfig,
+                      key: jax.Array, target_snr: float = 20.0) -> np.ndarray:
+    """One-step proxy diagnostic, de-whitened (ref ``inference.py:868-898``)."""
+
+    def model_fn(p, x, t):
+        return model.apply(p, x, t)
+
+    x0_norm = one_step_proxy(
+        model_fn, params, schedule, jnp.asarray(prep["clean_norm"]),
+        jnp.asarray(prep["cond_stack"]), key, target_snr, cfg)
+    x0_white = np.asarray(x0_norm).ravel() * prep["sigma"]
+    return dewhiten_back(x0_white, prep)

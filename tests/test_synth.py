@@ -1,0 +1,118 @@
+"""Physics sanity tests for the pure-JAX waveform/noise generator."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.synth import (
+    SynthConfig,
+    aligo_zdhp_psd,
+    chirp_mass,
+    colored_noise,
+    generate_batch,
+    generate_sample,
+    isco_frequency,
+    matched_filter_sigma,
+    newtonian_chirp,
+    tau_of_f,
+)
+
+
+def test_chirp_mass_equal_masses():
+    mc = float(chirp_mass(jnp.array(30.0), jnp.array(30.0)))
+    assert mc == pytest.approx(60.0 * 0.25 ** 0.6, rel=1e-6)  # eta^(3/5) * M
+
+
+def test_isco_frequency_scaling():
+    f60 = float(isco_frequency(jnp.array(30.0), jnp.array(30.0)))
+    f30 = float(isco_frequency(jnp.array(15.0), jnp.array(15.0)))
+    assert f30 == pytest.approx(2 * f60, rel=1e-6)
+    assert 60 < f60 < 90  # ~73 Hz for 60 Msun total
+
+
+def test_psd_shape_and_cutoff():
+    freqs = jnp.fft.rfftfreq(4096, 1.0 / 4096)
+    P = np.asarray(aligo_zdhp_psd(freqs, f_lower=20.0))
+    assert np.all(P[freqs < 20.0] == 0.0)
+    valid = P[np.asarray(freqs) >= 20.0]
+    assert np.all(valid > 0)
+    # design curve has a minimum in the 100-500 Hz bucket (detector sweet spot)
+    f = np.asarray(freqs)
+    fmin = f[np.argmin(np.where(f >= 20.0, P, np.inf))]
+    assert 50 < fmin < 600
+
+
+def test_chirp_frequency_increases(rng):
+    """Zero-crossing spacing should shrink toward the merger."""
+    h = np.asarray(newtonian_chirp(jnp.array(30.0), jnp.array(30.0),
+                                   n=8192, fs=4096))
+    nz = np.where(np.diff(np.signbit(h)))[0]
+    nz = nz[(nz > 2000) & (nz < 7800)]
+    gaps = np.diff(nz)
+    # median early gap > median late gap
+    assert np.median(gaps[: len(gaps) // 4]) > np.median(gaps[-len(gaps) // 4:])
+
+
+def test_chirp_peak_near_end():
+    h = np.asarray(newtonian_chirp(jnp.array(30.0), jnp.array(30.0),
+                                   n=8192, fs=4096, t_post=0.05))
+    pk = int(np.argmax(np.abs(h)))
+    # merger ~0.05s before end: peak in the last ~2.5% of the segment
+    assert pk > 8192 * 0.9
+
+
+def test_matched_filter_sigma_scales_linearly():
+    cfg = SynthConfig(n=8192, fs=4096)
+    h = newtonian_chirp(jnp.array(30.0), jnp.array(25.0), n=cfg.n, fs=cfg.fs)
+    freqs = jnp.fft.rfftfreq(cfg.n, 1.0 / cfg.fs)
+    psd = aligo_zdhp_psd(freqs, cfg.f_lower)
+    s1 = float(matched_filter_sigma(h, psd, cfg.fs, cfg.f_lower))
+    s2 = float(matched_filter_sigma(2.0 * h, psd, cfg.fs, cfg.f_lower))
+    assert s2 == pytest.approx(2 * s1, rel=1e-5)
+    assert s1 > 0
+
+
+def test_generate_sample_hits_target_snr():
+    cfg = SynthConfig(n=8192, fs=4096)
+    out = generate_sample(jax.random.PRNGKey(0), jnp.array(30.0), jnp.array(25.0),
+                          jnp.array(20.0), config=cfg)
+    s = float(matched_filter_sigma(out["signal"], out["psd"].astype(jnp.float64),
+                                   cfg.fs, cfg.f_lower))
+    assert s == pytest.approx(20.0, rel=1e-3)
+    assert out["noisy"].shape == (cfg.n,)
+    np.testing.assert_allclose(np.asarray(out["noisy"]),
+                               np.asarray(out["signal"] + out["noise"]), rtol=1e-5)
+
+
+def test_colored_noise_psd_matches_target(rng):
+    """Welch estimate of generated noise should track the requested PSD."""
+    from scipy.signal import welch as scipy_welch
+
+    n, fs = 65536, 4096
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+    target = 1e-46 * (1.0 + (freqs / 200.0) ** 2)  # smooth synthetic PSD
+    x = np.asarray(colored_noise(jax.random.PRNGKey(1), jnp.asarray(target), n, fs))
+    f_w, P_w = scipy_welch(x.astype(np.float64), fs=fs, nperseg=4096)
+    want = np.interp(f_w, freqs, target)
+    band = (f_w > 50) & (f_w < 1500)
+    ratio = P_w[band] / want[band]
+    assert abs(np.median(ratio) - 1.0) < 0.15
+
+
+def test_generate_batch_vmapped():
+    cfg = SynthConfig(n=2048, fs=4096)
+    out = generate_batch(
+        jax.random.PRNGKey(0),
+        jnp.array([30.0, 40.0]), jnp.array([25.0, 35.0]), jnp.array([10.0, 20.0]),
+        config=cfg)
+    assert out["signal"].shape == (2, 2048)
+    assert out["noisy"].shape == (2, 2048)
+    # different masses -> different waveforms
+    assert not np.allclose(np.asarray(out["signal"][0]), np.asarray(out["signal"][1]))
+
+
+def test_tau_of_f_monotone():
+    mc_s = float(chirp_mass(jnp.array(30.0), jnp.array(30.0))) * 4.925490947641267e-06
+    t20 = float(tau_of_f(jnp.array(mc_s), jnp.array(20.0)))
+    t40 = float(tau_of_f(jnp.array(mc_s), jnp.array(40.0)))
+    assert t20 > t40 > 0

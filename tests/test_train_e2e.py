@@ -1,0 +1,116 @@
+"""Minimum end-to-end slice (SURVEY.md §7 step 4 / BASELINE config 1):
+train a tiny model on synthetic chirps and assert the loss decreases; then
+reconstruct with the DDIM sampler end to end."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data import (
+    pipeline as dpipe,
+)
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.synth import (
+    SynthConfig,
+    generate_batch,
+)
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.sampling import (
+    SamplerConfig,
+    ddim_sample,
+)
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.training import (
+    TrainConfig,
+    train,
+)
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.utils.checkpoint import (
+    load_checkpoint,
+    restore_params,
+    select_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    cfg = SynthConfig(n=256, fs=1024, f_lower=20.0)
+    n = 32
+    rng = np.random.default_rng(0)
+    m1 = jnp.asarray(rng.uniform(25, 35, n))
+    m2 = jnp.asarray(rng.uniform(20, 30, n))
+    snr = jnp.asarray(rng.uniform(10, 30, n))
+    out = generate_batch(jax.random.PRNGKey(0), m1, m2, snr, config=cfg)
+    # normalise the raw strain scale so sigma ~ O(1)
+    scale = float(np.std(np.asarray(out["noisy"])))
+    clean = np.asarray(out["signal"]) / scale
+    noisy = np.asarray(out["noisy"]) / scale
+    meta = np.stack([np.asarray(m1) / 80.0, np.asarray(m2) / 80.0,
+                     np.zeros(n), np.zeros(n)], axis=1)
+    return dpipe.dataset_from_arrays(clean, noisy, fs=cfg.fs, meta=meta)
+
+
+def test_train_loss_decreases(tiny_dataset, tmp_path):
+    cfg = TrainConfig(
+        model_dir=str(tmp_path), epochs=6, batch_size=8, lr=3e-3, T=100,
+        base_ch=8, time_dim=16, depth=2, seed=0, t_min_frac=0.0,
+        p_uncond=0.2, p_selfcond=0.3, warmup_steps=4, bf16=False,
+        log_jsonl=str(tmp_path / "log.jsonl"), probe_cond=True,
+        probe_t=(10, 50), probe_interval=8, data_parallel=False,
+    )
+    result = train(cfg, dataset=tiny_dataset)
+    hist = result["history"]
+    assert hist[-1]["avg_per_sample"] < hist[0]["avg_per_sample"]
+    assert os.path.exists(result["checkpoint"])
+    # JSONL has train_batch + probe + epoch_end phases
+    import json
+    phases = set()
+    with open(cfg.log_jsonl) as fh:
+        for line in fh:
+            phases.add(json.loads(line)["phase"])
+    assert {"train_batch", "probe", "epoch_end"} <= phases
+
+
+def test_checkpoint_roundtrip_and_sampling(tiny_dataset, tmp_path):
+    cfg = TrainConfig(
+        model_dir=str(tmp_path), epochs=2, batch_size=8, lr=1e-3, T=100,
+        base_ch=8, time_dim=16, depth=2, seed=0, bf16=False,
+        data_parallel=False,
+    )
+    result = train(cfg, dataset=tiny_dataset)
+    model = result["model"]
+    schedule = result["schedule"]
+
+    ckpt = load_checkpoint(result["checkpoint"])
+    assert ckpt["args"]["in_ch"] == result["in_ch"]
+    assert ckpt["args"]["cond_in_ch"] == result["cond_in_ch"]
+    assert ckpt["args"]["meta_scale"]["M"] > 0
+    weights, used_ema = select_weights(ckpt, use_ema=True)
+    assert used_ema
+    params = restore_params(result["state"].params, weights)
+
+    # end-to-end DDIM reconstruction on one sample
+    bucket = tiny_dataset.buckets[tiny_dataset.bucket_lengths[0]]
+    y = jnp.asarray(bucket["noisy"][:1] / bucket["sigma"][0])
+    meta_bc = jnp.broadcast_to(
+        jnp.asarray(bucket["meta"][:1])[:, :, None], (1, 4, y.shape[-1]))
+    cond = jnp.concatenate([y, meta_bc], axis=1)
+
+    def model_fn(p, x, t):
+        return model.apply(p, x, t)
+
+    scfg = SamplerConfig(steps=10, cfg_scale=1.0, use_selfcond=True,
+                         init_mode="y-blend", start_t=80)
+    x0 = ddim_sample(model_fn, params, schedule, cond, jax.random.PRNGKey(0), scfg)
+    assert x0.shape == (1, 1, y.shape[-1])
+    assert np.all(np.isfinite(np.asarray(x0)))
+
+
+def test_resume_from_checkpoint(tiny_dataset, tmp_path):
+    cfg = TrainConfig(model_dir=str(tmp_path / "a"), epochs=1, batch_size=8,
+                      T=100, base_ch=8, time_dim=16, depth=2, bf16=False,
+                      data_parallel=False)
+    r1 = train(cfg, dataset=tiny_dataset)
+    cfg2 = TrainConfig(model_dir=str(tmp_path / "b"), epochs=1, batch_size=8,
+                       T=100, base_ch=8, time_dim=16, depth=2, bf16=False,
+                       init_from=r1["checkpoint"], data_parallel=False)
+    r2 = train(cfg2, dataset=tiny_dataset)
+    assert os.path.exists(r2["checkpoint"])
