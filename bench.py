@@ -1,0 +1,92 @@
+"""Headline benchmark: U-Net denoise steps/sec/chip at batch 64.
+
+Matches BASELINE.json's north-star metric ("≥5k U-Net denoising steps/sec/chip
+at batch 64 on v5e-8"): one denoise step = one conditioned U-Net forward +
+eps->x0 conversion + DDIM update for ONE sample; a batch-64 sampler step
+therefore counts as 64 steps.  The flagship model is the reference-default
+architecture (base_ch 64, depth 3, 4096-sample segments) with y + 4 metadata
+conditioning channels and the self-conditioning slot, in bf16.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models import (
+        UNet1D,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops import (
+        make_schedule,
+    )
+
+    B, L = 64, 4096
+    in_ch, cond_in_ch = 7, 5
+    T = 1000
+    SCAN_STEPS = 50
+
+    model = UNet1D(in_ch=in_ch, base_ch=64, time_dim=128, depth=3,
+                   t_embed_max_time=float(T - 1), cond_in_ch=cond_in_ch,
+                   use_selfcond=True, dtype=jnp.bfloat16)
+    schedule = make_schedule(T, "cosine")
+    key = jax.random.PRNGKey(0)
+    x_init = jax.random.normal(key, (B, 1, L), jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, cond_in_ch, L),
+                             jnp.float32)
+    params = model.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, in_ch, L)), jnp.zeros((1,), jnp.int32))
+
+    # a DDIM trajectory segment: scan of denoise steps (forward + eps->x0 +
+    # update), the sampler's hot loop
+    ts = np.linspace(T - 1, 1, SCAN_STEPS).round().astype(np.int32)
+    ab = np.asarray(schedule.alpha_bar, np.float64)
+    xs = {
+        "t": jnp.asarray(ts),
+        "ab_t": jnp.asarray(ab[ts], jnp.float32),
+        "ab_prev": jnp.asarray(np.concatenate([ab[ts[1:]], [1.0]]), jnp.float32),
+    }
+
+    @jax.jit
+    def run(params, x_init, cond):
+        sc0 = jnp.zeros_like(x_init)
+
+        def step(carry, s):
+            x_t, sc = carry
+            t_b = jnp.full((B,), s["t"], jnp.int32)
+            net_in = jnp.concatenate([x_t, cond, sc], axis=1)
+            eps_hat = model.apply(params, net_in, t_b)
+            x0_hat = (x_t - jnp.sqrt(1 - s["ab_t"]) * eps_hat) / jnp.sqrt(s["ab_t"])
+            dir_xt = jnp.sqrt(jnp.clip(1 - s["ab_prev"], 0.0)) * eps_hat
+            x_next = jnp.sqrt(s["ab_prev"]) * x0_hat + dir_xt
+            return (x_next, x0_hat), None
+
+        (x, _), _ = jax.lax.scan(step, (x_init, sc0), xs)
+        return x
+
+    # warmup/compile
+    run(params, x_init, cond).block_until_ready()
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = run(params, x_init, cond)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    steps_per_sec = B * SCAN_STEPS / dt
+    print(json.dumps({
+        "metric": "unet_denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s/chip (batch=64, base_ch=64, depth=3, L=4096, bf16)",
+        "vs_baseline": round(steps_per_sec / 5000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
