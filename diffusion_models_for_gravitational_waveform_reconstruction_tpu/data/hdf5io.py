@@ -125,15 +125,20 @@ def write_dataset(
                 data=np.array([d.encode("utf-8") for d in detectors], dtype=object),
                 dtype=vlen_str,
             )
+        # Deliberate deviation from the reference's vlen-f32 PSD storage
+        # (ref ``gen.py:372-382``): physical aLIGO PSDs (~1e-46 strain^2/Hz)
+        # sit BELOW the float32 subnormal minimum (~1.4e-45), so f32 storage
+        # silently zeroes the detector sweet spot.  float64 on disk preserves
+        # the values; all readers (including the reference's) cast on load.
         if psd_model is not None:
-            obj = _vlen(psd_model, np.float32)
-            f.create_dataset("psd", data=obj, dtype=vlen_f32)        # legacy alias
-            f.create_dataset("psd_model", data=obj, dtype=vlen_f32)
+            obj = _vlen(psd_model, np.float64)
+            f.create_dataset("psd", data=obj, dtype=vlen_f64)        # legacy alias
+            f.create_dataset("psd_model", data=obj, dtype=vlen_f64)
         if psd_welch is not None and psd_welch_freqs is not None:
-            f.create_dataset("psd_welch", data=_vlen(psd_welch, np.float32),
-                             dtype=vlen_f32)
+            f.create_dataset("psd_welch", data=_vlen(psd_welch, np.float64),
+                             dtype=vlen_f64)
             f.create_dataset("psd_welch_freqs",
-                             data=_vlen(psd_welch_freqs, np.float32), dtype=vlen_f32)
+                             data=_vlen(psd_welch_freqs, np.float64), dtype=vlen_f64)
 
         f.attrs["padding"] = "none"
         f.attrs["sampling_rate"] = float(sampling_rate)

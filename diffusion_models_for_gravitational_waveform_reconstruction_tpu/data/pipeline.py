@@ -42,11 +42,51 @@ def whiten_train_like_np(y: np.ndarray, x: np.ndarray
     P = np.abs(Y) ** 2
     if P.size > 9:
         P = np.convolve(P, np.ones(9) / 9.0, mode="same")
-    P = np.maximum(P, 1e-20)
+    # relative floor, not the reference's absolute max(P, 1e-20)
+    # (dataloader.py:118): physical-strain periodograms are ~1e-38, so the
+    # absolute floor would swamp every bin and disable whitening entirely.
+    P = psd_floor_np(P, 1e-12)
     y_w = irfft(Y / np.sqrt(P), n=L).astype(np.float32)
     X = rfft(x.astype(np.float64) - np.mean(x, dtype=np.float64))
     x_w = irfft(X / np.sqrt(P), n=L).astype(np.float32)
     return y_w, x_w, P
+
+
+def psd_floor_np(P: np.ndarray, rel: float = 1e-12) -> np.ndarray:
+    """Regularise a PSD with a floor RELATIVE to its maximum.
+
+    The reference adds an absolute eps (1e-20 at ``dataloader.py:133-140``,
+    1e-12 at ``inference.py:190-200``) before sqrt — but physical LIGO PSDs
+    are ~1e-46, so the eps dominates every bin and 'whitening' degenerates to
+    a frequency-independent rescale.  A relative floor preserves the spectral
+    shape at any units scale; de-whitening uses the same floored PSD so the
+    round trip stays exact.
+    """
+    mx = float(np.max(P)) if P.size else 0.0
+    if mx <= 0:
+        return np.full_like(np.asarray(P, np.float64), 1.0)
+    return np.maximum(np.asarray(P, np.float64), rel * mx)
+
+
+def whiten_weight_np(P: np.ndarray, rel: float = 1e-12) -> np.ndarray:
+    """Per-bin whitening weight 1/sqrt(P) with band-limit semantics.
+
+    Bins with P == 0 mark OUT-OF-BAND frequencies (the schema zeroes the
+    model PSD below f_lower, ref ``gen.py:92``): they carry infinite noise
+    weight, so the whitened content there must be ZERO — flooring them to a
+    tiny value instead would amplify sub-cutoff spectral leakage by ~1e26.
+    In-band bins are floored relatively (``psd_floor_np``).
+    """
+    P = np.asarray(P, np.float64)
+    Pf = psd_floor_np(P, rel)
+    return np.where(P > 0, 1.0 / np.sqrt(Pf), 0.0)
+
+
+def dewhiten_weight_np(P: np.ndarray, rel: float = 1e-12) -> np.ndarray:
+    """Exact inverse of ``whiten_weight_np`` on the in-band support."""
+    P = np.asarray(P, np.float64)
+    Pf = psd_floor_np(P, rel)
+    return np.where(P > 0, np.sqrt(Pf), 0.0)
 
 
 def interp_psd_np(P: np.ndarray, L_src: int, L_tgt: int, fs: float) -> np.ndarray:
@@ -58,23 +98,31 @@ def interp_psd_np(P: np.ndarray, L_src: int, L_tgt: int, fs: float) -> np.ndarra
 
 
 def whiten_model_np(y: np.ndarray, x: np.ndarray, P_model: np.ndarray, fs: float,
-                    eps: float = 1e-20) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                    eps: float = 1e-12) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Model-PSD whitening with band-limit semantics (``whiten_weight_np``).
+
+    Returns (y_w, x_w, P_interp) — de-whitening must use the returned P via
+    ``dewhiten_weight_np`` for an exact in-band inverse.
+    """
     L = len(y)
     P = interp_psd_np(np.asarray(P_model, np.float64), len(P_model), L, fs)
-    y_w = irfft(rfft(y.astype(np.float64)) / np.sqrt(P + eps), n=L).astype(np.float32)
-    x_w = irfft(rfft(x.astype(np.float64)) / np.sqrt(P + eps), n=L).astype(np.float32)
+    w = whiten_weight_np(P, eps)
+    y_w = irfft(rfft(y.astype(np.float64)) * w, n=L).astype(np.float32)
+    x_w = irfft(rfft(x.astype(np.float64)) * w, n=L).astype(np.float32)
     return y_w, x_w, P
 
 
 def whiten_welch_np(y: np.ndarray, x: np.ndarray, f_w: np.ndarray, P_w: np.ndarray,
-                    fs: float, eps: float = 1e-20
+                    fs: float, eps: float = 1e-12
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Welch-PSD whitening with band-limit semantics (``whiten_weight_np``)."""
     L = len(y)
     f_tgt = rfftfreq(L, 1.0 / fs)
     P = np.interp(f_tgt, np.asarray(f_w, np.float64), np.asarray(P_w, np.float64),
                   left=P_w[0], right=P_w[-1])
-    y_w = irfft(rfft(y.astype(np.float64)) / np.sqrt(P + eps), n=L).astype(np.float32)
-    x_w = irfft(rfft(x.astype(np.float64)) / np.sqrt(P + eps), n=L).astype(np.float32)
+    w = whiten_weight_np(P, eps)
+    y_w = irfft(rfft(y.astype(np.float64)) * w, n=L).astype(np.float32)
+    x_w = irfft(rfft(x.astype(np.float64)) * w, n=L).astype(np.float32)
     return y_w, x_w, P
 
 

@@ -47,12 +47,27 @@ import numpy as np
 MSUN_S = 4.925490947641267e-06    # G * Msun / c^3  [seconds]
 MPC_S = 1.02927125054339e14       # 1 Mpc / c       [seconds]
 
+# Internal scaled-units convention for float32/TPU safety.
+#
+# Physical one-sided LIGO PSDs sit at ~1e-46 strain^2/Hz — BELOW the float32
+# subnormal minimum (~1.4e-45), so any on-device f32 PSD math silently
+# flushes the detector sweet spot to zero.  The reference avoids this by
+# doing all PSD work in host float64 (``dataloader.py:112-123``); a
+# TPU-native pipeline instead carries strain x 1e21 and PSD x 1e42
+# internally (both ~O(1) in f32), converting to physical units only at the
+# float64 HDF5 boundary.  Matched-filter SNR is invariant under this joint
+# scaling, so all sigma/SNR numbers remain physical.
+STRAIN_SCALE = 1e21
+PSD_SCALE = STRAIN_SCALE * STRAIN_SCALE
+
 
 # ---------------------------------------------------------------------------
 # Design-curve PSD
 # ---------------------------------------------------------------------------
 
-def aligo_zdhp_psd(freqs: jnp.ndarray, f_lower: float = 20.0) -> jnp.ndarray:
+def aligo_zdhp_psd(
+    freqs: jnp.ndarray, f_lower: float = 20.0, *, scale: float = PSD_SCALE
+) -> jnp.ndarray:
     """Analytic fit to the aLIGO zero-detuning high-power design PSD.
 
     Uses the widely cited analytical approximation (Ajith 2011 family):
@@ -61,10 +76,14 @@ def aligo_zdhp_psd(freqs: jnp.ndarray, f_lower: float = 20.0) -> jnp.ndarray:
     Bins below ``f_lower`` are zeroed to mirror PyCBC's
     ``aLIGOZeroDetHighPower(..., low_freq_cutoff)`` behaviour
     (ref ``gen.py:92``).
+
+    Returns S * ``scale``.  The default ``scale=PSD_SCALE`` keeps values in
+    f32-representable range (physical values ~1e-46 underflow f32); pass
+    ``scale=1.0`` only under float64 (host side).
     """
     f = jnp.asarray(freqs, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     x = jnp.maximum(f, 1e-3) / 215.0
-    s = 1e-49 * (
+    s = (1e-49 * scale) * (
         jnp.power(x, -4.14)
         - 5.0 * jnp.power(x, -2.0)
         + 111.0 * (1.0 - x ** 2 + 0.5 * x ** 4) / (1.0 + 0.5 * x ** 2)
@@ -187,17 +206,30 @@ def newtonian_chirp(
 # ---------------------------------------------------------------------------
 
 def matched_filter_sigma(
-    signal: jnp.ndarray, psd: jnp.ndarray, fs: float, f_lower: float = 20.0
+    signal: jnp.ndarray,
+    psd: jnp.ndarray,
+    fs: float,
+    f_lower: float = 20.0,
+    *,
+    signal_scale: float = 1.0,
+    psd_scale: float = PSD_SCALE,
 ) -> jnp.ndarray:
     """sqrt(4 df sum_{f>=f_lower} |h~|^2 / S(f)) — pycbc.filter.sigma parity.
 
-    ``signal``: (..., N) time series; ``psd``: one-sided PSD on the rfft grid
-    of N (length N//2+1).  The continuous-FT normalisation h~ = dt * rfft(h).
+    ``signal``: (..., N) time series in physical strain x ``signal_scale``;
+    ``psd``: one-sided PSD on the rfft grid of N (length N//2+1), in physical
+    units x ``psd_scale``.  The continuous-FT normalisation h~ = dt * rfft(h).
+    The returned sigma is always in PHYSICAL units (the joint rescaling
+    cancels), but the internal arithmetic stays f32-safe as long as
+    signal*sqrt(psd_scale)/signal_scale is O(1)-ish.
     """
     N = signal.shape[-1]
     dt = 1.0 / fs
     df = fs / N
-    hf = jnp.fft.rfft(signal) * dt
+    # bring the signal into the same scaled universe as the PSD: h_eff =
+    # h_phys * sqrt(psd_scale), so |h_eff|^2 / S_scaled == |h|^2 / S exactly.
+    factor = (psd_scale ** 0.5) / signal_scale
+    hf = jnp.fft.rfft(signal * factor) * dt
     freqs = jnp.fft.rfftfreq(N, dt)
     valid = (freqs >= f_lower) & (psd > 0)
     integrand = jnp.where(valid, (jnp.abs(hf) ** 2) / jnp.where(psd > 0, psd, 1.0), 0.0)
@@ -209,10 +241,13 @@ def matched_filter_sigma(
 # ---------------------------------------------------------------------------
 
 def colored_noise(
-    key: jax.Array, psd: jnp.ndarray, n: int, fs: float
+    key: jax.Array, psd: jnp.ndarray, n: int, fs: float, *,
+    psd_scale: float = PSD_SCALE, out_scale: float = STRAIN_SCALE,
 ) -> jnp.ndarray:
     """Gaussian noise time series with the given one-sided PSD.
 
+    ``psd`` is in physical units x ``psd_scale``; the output time series is
+    physical strain x ``out_scale`` (defaults keep both f32-safe).
     Convention: E[|X_k|^2] = N * fs * S_k / 2 for interior rfft bins, which
     makes a Welch estimate of the output reproduce S (density scaling).
     """
@@ -220,12 +255,14 @@ def colored_noise(
     k_re, k_im = jax.random.split(key)
     a = jax.random.normal(k_re, (nf,))
     b = jax.random.normal(k_im, (nf,))
-    amp = jnp.sqrt(n * fs * psd / 4.0)
+    # sqrt(S_phys)*out_scale = sqrt(S_scaled) * (out_scale/sqrt(psd_scale))
+    unit = out_scale / (psd_scale ** 0.5)
+    amp = jnp.sqrt(n * fs * psd / 4.0) * unit
     z = amp * (a + 1j * b)
     # DC and (for even n) Nyquist must be real with doubled variance
-    z = z.at[0].set(jnp.sqrt(n * fs * psd[0] / 2.0) * a[0])
+    z = z.at[0].set(jnp.sqrt(n * fs * psd[0] / 2.0) * unit * a[0])
     if n % 2 == 0:
-        z = z.at[-1].set(jnp.sqrt(n * fs * psd[-1] / 2.0) * a[-1])
+        z = z.at[-1].set(jnp.sqrt(n * fs * psd[-1] / 2.0) * unit * a[-1])
     return jnp.fft.irfft(z, n=n).astype(jnp.float32)
 
 
@@ -265,8 +302,10 @@ def generate_sample(
     amplitude model does not use them (the reference notes label metadata
     may differ from the physical generation inputs too).
 
-    Returns dict with float32 arrays 'signal', 'noise', 'noisy' of length n,
-    plus 'psd' (rfft grid) and scalar 'sigma_1mpc_snr' diagnostics.
+    Returns dict with float32 arrays 'signal', 'noise', 'noisy' of length n
+    in PHYSICAL strain, 'psd' on the rfft grid in physical units x
+    'psd_scale' (f32 cannot represent ~1e-46 physical PSDs — divide by
+    'psd_scale' in float64 at the HDF5 boundary), and scalar 'raw_sigma'.
     """
     c = config
     fp, fx = antenna_pattern(c.ra, c.dec, c.polarization)
@@ -275,16 +314,16 @@ def generate_sample(
         fplus=fp, fcross=fx,
     )
     freqs = jnp.fft.rfftfreq(c.n, 1.0 / c.fs)
-    psd = aligo_zdhp_psd(freqs, c.f_lower)
-    current = matched_filter_sigma(h, psd, c.fs, c.f_lower)
+    psd = aligo_zdhp_psd(freqs, c.f_lower)          # physical x PSD_SCALE
+    current = matched_filter_sigma(h, psd, c.fs, c.f_lower)   # physical sigma
     scale = target_snr / jnp.maximum(current, 1e-30)
     signal = (h * scale).astype(jnp.float32)
-    noise = colored_noise(key, psd, c.n, c.fs)
+    noise = colored_noise(key, psd, c.n, c.fs, out_scale=1.0)
     return {
         "signal": signal,
         "noise": noise,
         "noisy": signal + noise,
-        "psd": psd.astype(jnp.float32),
+        "psd": psd.astype(jnp.float32),   # physical x PSD_SCALE (module const)
         "raw_sigma": current,
     }
 

@@ -188,13 +188,15 @@ def prepare_measurement(
             kind = "model"
         elif mode == "saved-welch":
             # saved per-sample Welch PSD interpolated onto the rfft grid
+            from .data.pipeline import whiten_weight_np
             f_tgt = rfftfreq(L, 1.0 / fs)
             P = np.interp(f_tgt, fw_in, Pw_in, left=Pw_in[0], right=Pw_in[-1])
+            w = whiten_weight_np(P)
             Y = rfft(y_raw.astype(np.float64))
-            y_c = irfft(Y / np.sqrt(P + 1e-12), n=L).astype(np.float32)
+            y_c = irfft(Y * w, n=L).astype(np.float32)
             if clean_raw is not None:
                 X = rfft(clean_raw.astype(np.float64))
-                clean_c = irfft(X / np.sqrt(P + 1e-12), n=L).astype(np.float32)
+                clean_c = irfft(X * w, n=L).astype(np.float32)
             else:
                 clean_c = None
             freqs_P = (f_tgt, P)
@@ -244,18 +246,26 @@ def prepare_measurement(
 
 def dewhiten_back(x: np.ndarray, prep: dict) -> np.ndarray:
     """Invert whatever whitening ``prepare_measurement`` applied (ref
-    ``inference.py:819-826``)."""
+    ``inference.py:819-826``).
+
+    Uses ``dewhiten_weight_np`` — the exact in-band inverse of the band-
+    limited whitening weight (out-of-band bins were zeroed by whitening and
+    stay zero).  The reference adds eps on both sides, which for
+    physical-unit PSDs breaks the round trip."""
     from numpy.fft import irfft, rfft
+
+    from .data.pipeline import dewhiten_weight_np
 
     kind = prep["whiten_kind_used"]
     L = len(x)
     if kind == "train":
-        return irfft(rfft(x) * np.sqrt(prep["P_train"] + 1e-12), n=L)
+        # train-like P is a (floored, never-zero) periodogram
+        return irfft(rfft(x) * np.sqrt(prep["P_train"]), n=L)
     if kind == "welch":
         _, P = prep["freqs_P"]
-        return irfft(rfft(x) * np.sqrt(P + 1e-12), n=L)
+        return irfft(rfft(x) * dewhiten_weight_np(P), n=L)
     if kind == "model":
-        return irfft(rfft(x) * np.sqrt(prep["P_model_used"] + 1e-12), n=L)
+        return irfft(rfft(x) * dewhiten_weight_np(prep["P_model_used"]), n=L)
     return x
 
 

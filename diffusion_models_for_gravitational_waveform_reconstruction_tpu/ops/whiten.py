@@ -56,13 +56,37 @@ def _boxcar_smooth_same(P: jnp.ndarray, width: int = 9) -> jnp.ndarray:
 # train-like whitening (self-estimated PSD from the measurement itself)
 # ---------------------------------------------------------------------------
 
+def psd_floor(P: jnp.ndarray, rel: float = 1e-12) -> jnp.ndarray:
+    """Floor a PSD RELATIVE to its per-sample maximum (last axis).
+
+    An absolute epsilon (the reference's max(P, 1e-20) / P + 1e-12) swamps
+    physical-unit PSDs entirely (~1e-46 strain^2/Hz) and silently turns
+    whitening into a constant rescale; a relative floor is scale-free.
+    """
+    mx = jnp.max(P, axis=-1, keepdims=True)
+    mx = jnp.where(mx > 0, mx, 1.0)
+    return jnp.maximum(P, rel * mx)
+
+
+def whiten_weight(P: jnp.ndarray, rel: float = 1e-12) -> jnp.ndarray:
+    """1/sqrt(P) with band-limit semantics: P == 0 bins (below the schema's
+    f_lower cutoff, ref ``gen.py:92``) mean INFINITE noise -> weight 0, not a
+    tiny floored divisor that would amplify sub-cutoff leakage ~1e26x."""
+    return jnp.where(P > 0, 1.0 / jnp.sqrt(psd_floor(P, rel)), 0.0)
+
+
+def dewhiten_weight(P: jnp.ndarray, rel: float = 1e-12) -> jnp.ndarray:
+    """Exact in-band inverse of ``whiten_weight``."""
+    return jnp.where(P > 0, jnp.sqrt(psd_floor(P, rel)), 0.0)
+
+
 def train_psd(y: jnp.ndarray) -> jnp.ndarray:
     """Smoothed periodogram |rfft(y - mean)|^2 used as the whitening PSD."""
     y0 = y - y.mean(axis=-1, keepdims=True)
     Y = jnp.fft.rfft(y0)
     P = jnp.abs(Y) ** 2
     P = _boxcar_smooth_same(P, 9)
-    return jnp.maximum(P, 1e-20)
+    return psd_floor(P)
 
 
 def whiten_train_like(
@@ -75,7 +99,7 @@ def whiten_train_like(
     L = y.shape[-1]
     y0 = y - y.mean(axis=-1, keepdims=True)
     Y = jnp.fft.rfft(y0)
-    P = jnp.maximum(_boxcar_smooth_same(jnp.abs(Y) ** 2, 9), 1e-20)
+    P = psd_floor(_boxcar_smooth_same(jnp.abs(Y) ** 2, 9))
     y_w = jnp.fft.irfft(Y / jnp.sqrt(P), n=L)
     x_w = None
     if x is not None:
@@ -85,9 +109,12 @@ def whiten_train_like(
 
 
 def dewhiten_train_like(sig: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of train-like whitening (ref ``inference.py:154-158``)."""
+    """Inverse of train-like whitening (ref ``inference.py:154-158``).
+
+    ``P`` is the already-floored PSD returned by ``whiten_train_like`` —
+    multiplying by sqrt(P) with no extra epsilon is the exact inverse."""
     L = sig.shape[-1]
-    return jnp.fft.irfft(jnp.fft.rfft(sig) * jnp.sqrt(P + 1e-12), n=L)
+    return jnp.fft.irfft(jnp.fft.rfft(sig) * jnp.sqrt(P), n=L)
 
 
 # ---------------------------------------------------------------------------
@@ -110,23 +137,25 @@ def whiten_with_psd(
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Whiten by a given one-sided PSD on the rfft grid of y's length.
 
-    Ref ``dataloader.py:133-140`` (which uses eps=1e-20) and
-    ``inference.py:190-200`` (eps=1e-12); the epsilon is an argument so both
-    call sites reproduce their exact constant.
+    ``eps`` is a RELATIVE floor (vs max P) — see ``psd_floor``; the
+    reference's absolute epsilons (``dataloader.py:133-140`` eps=1e-20,
+    ``inference.py:190-200`` eps=1e-12) degenerate on physical-unit PSDs.
     """
     L = y.shape[-1]
+    w = whiten_weight(P, eps)
     Y = jnp.fft.rfft(y)
-    y_w = jnp.fft.irfft(Y / jnp.sqrt(P + eps), n=L)
+    y_w = jnp.fft.irfft(Y * w, n=L)
     x_w = None
     if x is not None:
         X = jnp.fft.rfft(x)
-        x_w = jnp.fft.irfft(X / jnp.sqrt(P + eps), n=L)
+        x_w = jnp.fft.irfft(X * w, n=L)
     return y_w, x_w
 
 
 def dewhiten_with_psd(sig: jnp.ndarray, P: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Exact in-band inverse of ``whiten_with_psd``."""
     L = sig.shape[-1]
-    return jnp.fft.irfft(jnp.fft.rfft(sig) * jnp.sqrt(P + eps), n=L)
+    return jnp.fft.irfft(jnp.fft.rfft(sig) * dewhiten_weight(P, eps), n=L)
 
 
 # ---------------------------------------------------------------------------

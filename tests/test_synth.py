@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.synth import (
+    PSD_SCALE,
     SynthConfig,
     aligo_zdhp_psd,
     chirp_mass,
@@ -31,6 +32,7 @@ def test_isco_frequency_scaling():
 
 
 def test_psd_shape_and_cutoff():
+    # default scale = PSD_SCALE keeps the curve f32-representable
     freqs = jnp.fft.rfftfreq(4096, 1.0 / 4096)
     P = np.asarray(aligo_zdhp_psd(freqs, f_lower=20.0))
     assert np.all(P[freqs < 20.0] == 0.0)
@@ -72,11 +74,31 @@ def test_matched_filter_sigma_scales_linearly():
     assert s1 > 0
 
 
+def test_matched_filter_sigma_scale_invariant():
+    """Physical sigma must not depend on the internal scaling convention."""
+    cfg = SynthConfig(n=8192, fs=4096)
+    h = newtonian_chirp(jnp.array(30.0), jnp.array(25.0), n=cfg.n, fs=cfg.fs)
+    freqs = np.fft.rfftfreq(cfg.n, 1.0 / cfg.fs)
+    psd_scaled = np.asarray(aligo_zdhp_psd(jnp.asarray(freqs), cfg.f_lower),
+                            np.float64)
+    s_scaled = float(matched_filter_sigma(h, jnp.asarray(psd_scaled),
+                                          cfg.fs, cfg.f_lower))
+    # reference-style float64 physical-units computation
+    h64 = np.asarray(h, np.float64)
+    psd_phys = psd_scaled / PSD_SCALE
+    dt = 1.0 / cfg.fs
+    hf = np.fft.rfft(h64) * dt
+    valid = (freqs >= cfg.f_lower) & (psd_phys > 0)
+    s_phys = np.sqrt(4.0 * (cfg.fs / cfg.n) * np.sum(
+        np.abs(hf[valid]) ** 2 / psd_phys[valid]))
+    assert s_scaled == pytest.approx(s_phys, rel=1e-3)
+
+
 def test_generate_sample_hits_target_snr():
     cfg = SynthConfig(n=8192, fs=4096)
     out = generate_sample(jax.random.PRNGKey(0), jnp.array(30.0), jnp.array(25.0),
                           jnp.array(20.0), config=cfg)
-    s = float(matched_filter_sigma(out["signal"], out["psd"].astype(jnp.float64),
+    s = float(matched_filter_sigma(out["signal"], out["psd"],
                                    cfg.fs, cfg.f_lower))
     assert s == pytest.approx(20.0, rel=1e-3)
     assert out["noisy"].shape == (cfg.n,)
@@ -90,10 +112,13 @@ def test_colored_noise_psd_matches_target(rng):
 
     n, fs = 65536, 4096
     freqs = np.fft.rfftfreq(n, 1.0 / fs)
-    target = 1e-46 * (1.0 + (freqs / 200.0) ** 2)  # smooth synthetic PSD
-    x = np.asarray(colored_noise(jax.random.PRNGKey(1), jnp.asarray(target), n, fs))
-    f_w, P_w = scipy_welch(x.astype(np.float64), fs=fs, nperseg=4096)
-    want = np.interp(f_w, freqs, target)
+    target_phys = 1e-46 * (1.0 + (freqs / 200.0) ** 2)  # smooth synthetic PSD
+    target_scaled = target_phys * PSD_SCALE             # f32-representable
+    x = np.asarray(colored_noise(jax.random.PRNGKey(1),
+                                 jnp.asarray(target_scaled), n, fs,
+                                 out_scale=1.0)).astype(np.float64)
+    f_w, P_w = scipy_welch(x, fs=fs, nperseg=4096)
+    want = np.interp(f_w, freqs, target_phys)
     band = (f_w > 50) & (f_w < 1500)
     ratio = P_w[band] / want[band]
     assert abs(np.median(ratio) - 1.0) < 0.15
@@ -107,8 +132,11 @@ def test_generate_batch_vmapped():
         config=cfg)
     assert out["signal"].shape == (2, 2048)
     assert out["noisy"].shape == (2, 2048)
-    # different masses -> different waveforms
-    assert not np.allclose(np.asarray(out["signal"][0]), np.asarray(out["signal"][1]))
+    # different masses -> different waveforms (atol=0: physical strains are
+    # ~1e-21, far below allclose's default atol)
+    s0 = np.asarray(out["signal"][0])
+    s1 = np.asarray(out["signal"][1])
+    assert not np.allclose(s0 / np.abs(s0).max(), s1 / np.abs(s1).max(), atol=1e-3)
 
 
 def test_tau_of_f_monotone():

@@ -140,3 +140,36 @@ def test_mad_std_and_pick_sigma(rng):
     # degenerate input falls back to 1.0
     z = jnp.zeros((1, 100))
     assert float(pick_sigma(z, "std")[0]) == 1.0
+
+
+def test_model_whiten_band_limit_and_units(rng):
+    """Physical-units model-PSD whitening: unit-PSD-consistent output scale
+    and NO amplification of out-of-band (P==0) content.
+
+    Regression for two reference defects this rebuild fixes deliberately:
+    (a) absolute eps (1e-20/1e-12) >> physical PSD (~1e-46) degenerates
+        whitening into a constant rescale (ref dataloader.py:133-140);
+    (b) flooring P==0 bins below f_lower amplifies sub-cutoff spectral
+        leakage instead of zeroing it.
+    """
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.pipeline import (
+        whiten_model_np,
+    )
+
+    L, fs = 8192, 4096.0
+    freqs = rfftfreq(L, 1.0 / fs)
+    # physical-scale PSD, zeroed below 20 Hz like the schema's model PSD
+    P = np.where(freqs >= 20.0, 1e-46 * (1.0 + (freqs / 200.0) ** 2), 0.0)
+    # colored noise at physical strain scale via the PSD itself
+    wn = rng.normal(size=L)
+    amp = np.sqrt(L * fs * P / 4.0)
+    z = amp * (rng.normal(size=L // 2 + 1) + 1j * rng.normal(size=L // 2 + 1))
+    y = irfft(z, n=L).astype(np.float32)
+    x = (np.sin(2 * np.pi * 5.0 * np.arange(L) / fs) * 1e-21).astype(np.float32)
+
+    y_w, x_w, P_out = whiten_model_np(y, x, P, fs)
+    # (a) spectrally correct whitening -> std ~ sqrt(fs/2), not ~1e-11
+    assert np.std(y_w) == pytest.approx(np.sqrt(fs / 2.0), rel=0.1)
+    # (b) x is pure 5 Hz = out of band: whitened version must be ~zero,
+    # not amplified by 1/sqrt(floored tiny P)
+    assert np.abs(x_w).max() < 1e-3 * np.std(y_w)
