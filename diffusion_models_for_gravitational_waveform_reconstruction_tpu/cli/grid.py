@@ -1,0 +1,149 @@
+"""Mass-grid evaluation CLI — per-(m1, m2) reconstruction-quality heatmaps.
+
+Flag parity with ``/root/reference/src/snr_denoising/grid_infer.py:206-275``.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gw-grid",
+        description="Evaluate reconstruction quality over the dataset's "
+                    "(m1, m2) mass grid; emits CSVs, heatmap PNGs, "
+                    "summary.json.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--input-h5", type=str, required=True)
+    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--outdir", type=str, default="grid_out")
+    p.add_argument("--device", type=str, default=None, help="(ignored; XLA)")
+    p.add_argument("--amp", action="store_true", help="(ignored; bf16)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--from-sweep", type=str, default=None,
+                   help="Sweep output dir; knobs read from its artifacts.")
+
+    s = p.add_argument_group("Sampler knobs (override --from-sweep)")
+    s.add_argument("--steps", type=int, default=200)
+    s.add_argument("--eta", type=float, default=0.0)
+    s.add_argument("--start-snr", type=float, default=8.0)
+    s.add_argument("--start-t", type=int, default=None)
+    s.add_argument("--init-mode", choices=["noise", "scaled-noise", "y-blend"],
+                   default="noise")
+    s.add_argument("--cfg-scale", type=float, default=1.5)
+    s.add_argument("--cfg-mode", choices=["const", "tophat", "gauss"],
+                   default="const")
+    s.add_argument("--cfg-center", type=float, default=0.70)
+    s.add_argument("--cfg-width", type=float, default=0.12)
+    s.add_argument("--dc-weight", type=float, default=0.0)
+
+    d = p.add_argument_group("Domain")
+    d.add_argument("--whiten", type=int, default=0)
+    d.add_argument("--whiten-mode",
+                   choices=["auto", "model", "welch", "train"], default="auto")
+    d.add_argument("--sigma-mode", choices=["std", "mad", "fixed"],
+                   default="std")
+    d.add_argument("--sigma-fixed", type=float, default=1.0)
+
+    w = p.add_argument_group("Scoring")
+    w.add_argument("--unordered", action="store_true",
+                   help="Fold cells to m2 <= m1.")
+    w.add_argument("--win", choices=["full", "tail", "merger"], default="tail")
+    w.add_argument("--tail-secs", type=float, default=0.8)
+    w.add_argument("--left", type=float, default=0.08)
+    w.add_argument("--right", type=float, default=0.04)
+    w.add_argument("--align", choices=["none", "peak", "xcorr"], default="none")
+    w.add_argument("--align-max-shift-s", type=float, default=0.02)
+    w.add_argument("--mae-norm", choices=["sigma", "clean"], default="sigma")
+    w.add_argument("--metrics", type=str, nargs="+", default=["corr", "mae"],
+                   help="(parity; both are always computed)")
+    w.add_argument("--per-cell", type=int, default=4)
+    w.add_argument("--min-per-cell", type=int, default=1)
+
+    v = p.add_argument_group("Plot cosmetics")
+    v.add_argument("--xlabel", type=str, default="m1 [Msun]")
+    v.add_argument("--ylabel", type=str, default="m2 [Msun]")
+    v.add_argument("--title-corr", type=str, default="corr (mean per cell)")
+    v.add_argument("--title-mae", type=str, default="normalised MAE (mean)")
+    v.add_argument("--annot", action="store_true")
+    v.add_argument("--annot-fmt", type=str, default="%.2f")
+    v.add_argument("--annot-div", type=float, default=1.0)
+    v.add_argument("--tick-fmt", type=str, default="%.0f")
+    v.add_argument("--max-ticks-x", type=int, default=12)
+    v.add_argument("--max-ticks-y", type=int, default=12)
+    v.add_argument("--gridlines", action="store_true")
+    v.add_argument("--gridline-alpha", type=float, default=0.15)
+    v.add_argument("--gridline-width", type=float, default=0.5)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import h5py
+
+    from ..data.hdf5io import resolve_h5_path
+    from ..evals.grid import (
+        aggregate_and_plot,
+        eval_indices,
+        parse_sweep_best,
+        select_per_cell,
+    )
+    from ..evals.sweep import prep_samples
+    from ..inference import load_model
+
+    if args.from_sweep:
+        knobs = parse_sweep_best(args.from_sweep)
+        cli = build_parser().parse_args(argv)   # re-parse for explicit flags
+        defaults = build_parser().parse_args(
+            ["--input-h5", args.input_h5, "--model", args.model])
+        for k, v in knobs.items():
+            # CLI value wins only if it differs from the parser default
+            if hasattr(args, k) and getattr(cli, k) == getattr(defaults, k):
+                setattr(args, k, v)
+        print(f"[grid] knobs from sweep {args.from_sweep}: {knobs}")
+
+    args.input_h5 = resolve_h5_path(args.input_h5)
+    rng = np.random.default_rng(args.seed)
+
+    # labels: prefer label_m1/m2, else mass1/2 (ref grid_infer.py:333-343)
+    with h5py.File(args.input_h5, "r") as f:
+        if "label_m1" in f and "label_m2" in f:
+            m1 = np.asarray(f["label_m1"][:], np.float64)
+            m2 = np.asarray(f["label_m2"][:], np.float64)
+        else:
+            m1 = np.asarray(f["mass1"][:], np.float64)
+            m2 = np.asarray(f["mass2"][:], np.float64)
+
+    cells = select_per_cell(m1, m2, args.per_cell, args.min_per_cell, rng,
+                            args.unordered)
+    indices = np.concatenate([v for v in cells.values()]) if cells else []
+    print(f"[grid] {len(cells)} cells, {len(indices)} samples selected")
+    if len(indices) == 0:
+        raise SystemExit("no cells satisfy --min-per-cell")
+
+    model, params, schedule, ck = load_model(args.model)
+    preps = prep_samples(args.input_h5, indices, ck, args.model,
+                         bool(args.whiten), args.whiten_mode,
+                         args.sigma_mode, args.sigma_fixed)
+    key = jax.random.PRNGKey(args.seed)
+    rows = eval_indices(args, model, params, schedule, ck, preps, key)
+
+    labels = {int(i): {"m1": float(m1[i]), "m2": float(m2[i])} for i in indices}
+    if args.unordered:
+        for i in labels:
+            a, b = labels[i]["m1"], labels[i]["m2"]
+            labels[i] = {"m1": max(a, b), "m2": min(a, b)}
+    summary = aggregate_and_plot(args, rows, labels)
+    print(f"[grid] summary: corr_macro={summary['corr_macro_mean']:.4f} "
+          f"mae_macro={summary['mae_macro_mean']:.4f}")
+    print(f"[grid] artifacts -> {args.outdir}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,240 @@
+"""Inference CLI — reconstruct strain from a measurement with the DDIM/DDPM
+sampler.
+
+Flag parity with ``/root/reference/src/snr_denoising/inference.py:517-903``:
+measurement from ``--input-h5 --index`` or ``--input-npy --fs``; architecture
+rebuilt from checkpoint args (no arch flags); EMA preferred unless
+``--no-use-ema``; whitening auto-cascade; sigma fallbacks; ~40 sampler knobs;
+auto run-tag; ``.npy``/``.png``/``metrics_*.json`` artifacts; per-step JSONL
+diagnostics; optional one-step proxy branch.
+
+``--device``/``--amp`` are accepted as no-ops (XLA/bf16).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gw-infer", description="Waveform reconstruction via diffusion.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    src = p.add_argument_group("Input")
+    src.add_argument("--input-h5", type=str, default=None)
+    src.add_argument("--input-npy", type=str, default=None)
+    src.add_argument("--index", type=int, default=0)
+    src.add_argument("--fs", type=float, default=4096.0,
+                     help="Sampling rate for --input-npy.")
+    p.add_argument("--model", type=str, required=True,
+                   help="Checkpoint path (.msgpack).")
+    p.add_argument("--outdir", type=str, default="infer_out")
+    p.add_argument("--device", type=str, default=None, help="(ignored; XLA)")
+    p.add_argument("--amp", action="store_true", help="(ignored; bf16)")
+    p.add_argument("--use-ema", dest="use_ema", action="store_true", default=True)
+    p.add_argument("--no-use-ema", dest="use_ema", action="store_false")
+    p.add_argument("--seed", type=int, default=0)
+
+    s = p.add_argument_group("Sampler")
+    s.add_argument("--sampler", choices=["ddim", "ddpm"], default="ddim")
+    s.add_argument("--steps", type=int, default=200)
+    s.add_argument("--eta", type=float, default=0.0)
+    s.add_argument("--start-t", type=int, default=None)
+    s.add_argument("--start-snr", type=float, default=None)
+    s.add_argument("--init-mode", choices=["noise", "scaled-noise", "y-blend"],
+                   default="noise")
+    s.add_argument("--x0-std-est", type=float, default=0.14)
+    s.add_argument("--dc-weight", type=float, default=0.0)
+    s.add_argument("--cond-scale", type=float, default=1.0)
+    s.add_argument("--eps-scale", type=float, default=1.0)
+    s.add_argument("--pred-type", choices=["eps", "x0"], default="eps")
+    s.add_argument("--cfg-scale", type=float, default=1.5)
+    s.add_argument("--cfg-mode", choices=["const", "tophat", "gauss"],
+                   default="const")
+    s.add_argument("--cfg-center", type=float, default=0.70)
+    s.add_argument("--cfg-width", type=float, default=0.12)
+    s.add_argument("--cfg-u-only-thresh", type=float, default=0.05)
+    s.add_argument("--selfcond-ema", type=float, default=0.0,
+                   help="(accepted for parity; self-cond channel is updated "
+                   "every step)")
+    s.add_argument("--oracle-init", action="store_true")
+
+    d = p.add_argument_group("Domain")
+    d.add_argument("--whiten", type=int, default=0)
+    d.add_argument("--whiten-mode",
+                   choices=["auto", "model", "welch", "train"], default="auto")
+    d.add_argument("--sigma-mode", choices=["std", "mad", "fixed"],
+                   default="std")
+    d.add_argument("--sigma-fixed", type=float, default=1.0)
+
+    o = p.add_argument_group("Output / scoring")
+    o.add_argument("--plot", action="store_true")
+    o.add_argument("--xcorr-window-samp", type=int, default=0)
+    o.add_argument("--score-secs", type=float, default=0.8)
+    o.add_argument("--run-tag", type=str, default=None)
+    o.add_argument("--save-every", type=int, default=0, help="(parity; unused)")
+    o.add_argument("--debug", action="store_true")
+    o.add_argument("--log-jsonl", type=str, default=None)
+    o.add_argument("--log-interval", type=int, default=1)
+
+    x = p.add_argument_group("One-step proxy")
+    x.add_argument("--one-step-proxy", action="store_true")
+    x.add_argument("--target-snr", type=float, default=20.0)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+    if (args.input_h5 is None) == (args.input_npy is None):
+        raise SystemExit("provide exactly one of --input-h5 / --input-npy")
+
+    import jax
+
+    from ..data import hdf5io
+    from ..evals import metrics as M
+    from ..inference import (
+        dewhiten_back,
+        load_model,
+        make_run_tag,
+        prepare_measurement,
+        proxy_reconstruct,
+        reconstruct,
+        resolve_start_t,
+    )
+    from ..ops.sampling import SamplerConfig
+    from ..utils.jsonl import JsonlLogger
+
+    os.makedirs(args.outdir, exist_ok=True)
+    model, params, schedule, ck = load_model(args.model, use_ema=args.use_ema)
+    meta_scale = ck.get("meta_scale", {}) or {}
+    M_SCALE = float(meta_scale.get("M", 80.0))
+    Q_SCALE = float(meta_scale.get("q", 10.0))
+    cond_in_ch = int(ck.get("cond_in_ch", 1))
+
+    if args.input_h5:
+        y, clean, fs, P_model, welch, meta = hdf5io.load_measurement(
+            hdf5io.resolve_h5_path(args.input_h5), args.index)
+    else:
+        y, clean, fs, P_model, welch, meta = hdf5io.load_measurement_npy(
+            args.input_npy, args.fs)
+
+    prep = prepare_measurement(
+        y, clean, fs, P_model, welch, meta, cond_in_ch=cond_in_ch,
+        M_SCALE=M_SCALE, Q_SCALE=Q_SCALE, whiten=bool(args.whiten),
+        whiten_mode=args.whiten_mode, sigma_mode=args.sigma_mode,
+        sigma_fixed=args.sigma_fixed, ckpt_path=args.model)
+    print(f"[infer] L={prep['L']} fs={fs} whiten={prep['whiten_kind_used']} "
+          f"sigma={prep['sigma']:.4g}")
+
+    start_t = resolve_start_t(schedule, args.start_t, args.start_snr)
+    cfg = SamplerConfig(
+        steps=args.steps, eta=args.eta, start_t=start_t,
+        init_mode=args.init_mode, x0_std_est=args.x0_std_est,
+        dc_weight=args.dc_weight, cond_scale=args.cond_scale,
+        eps_scale=args.eps_scale, pred_type=args.pred_type,
+        use_selfcond=int(ck.get("in_ch", 3)) == (1 + cond_in_ch + 1),
+        cfg_scale=args.cfg_scale, cfg_mode=args.cfg_mode,
+        cfg_center=args.cfg_center, cfg_width=args.cfg_width,
+        cfg_u_only_thresh=args.cfg_u_only_thresh,
+        drop_y_only=bool(ck.get("dropout_y_only", True)),
+        oracle_init=args.oracle_init)
+
+    tag = args.run_tag or make_run_tag(
+        args.sampler, cfg, schedule, bool(args.whiten), args.whiten_mode,
+        args.sigma_mode)
+    logger = JsonlLogger(args.log_jsonl)
+
+    key = jax.random.PRNGKey(args.seed)
+    x0_raw, x0_white, diag = reconstruct(
+        model, params, schedule, prep, cfg, key, sampler=args.sampler,
+        collect_diagnostics=bool(args.log_jsonl) or args.debug)
+
+    if diag is not None and args.log_jsonl:
+        n_steps = len(diag["t"])
+        for i in range(0, n_steps, max(1, args.log_interval)):
+            logger.log({"phase": "ddim_step", "i": int(i),
+                        "t": int(diag["t"][i]),
+                        "alpha_bar": float(diag["alpha_bar"][i]),
+                        "cfg_w": float(diag["cfg_w"][i]),
+                        "xcorr_vs_y": float(np.asarray(diag["corr"][i]).ravel()[0])})
+
+    np.save(os.path.join(args.outdir, f"recon_{tag}.npy"), x0_raw)
+    np.save(os.path.join(args.outdir, f"measurement_{tag}.npy"), prep["y_raw"])
+    if prep["clean_raw"] is not None:
+        np.save(os.path.join(args.outdir, f"clean_{tag}.npy"), prep["clean_raw"])
+
+    results = {"tag": tag, "sigma": prep["sigma"], "L": prep["L"], "fs": fs,
+               "whiten_kind": prep["whiten_kind_used"],
+               "start_t": -1 if start_t is None else int(start_t)}
+    if prep["clean_raw"] is not None:
+        m_strain = M.score_last_window(x0_raw, prep["clean_raw"], fs,
+                                       args.score_secs)
+        results["strain"] = m_strain
+        if prep["clean_for_cond"] is not None:
+            m_white = M.score_last_window(x0_white, prep["clean_for_cond"], fs,
+                                          args.score_secs)
+            results["white"] = m_white
+        a_al, b_al, t_al = M.align_xcorr(
+            prep["clean_raw"], x0_raw, 1.0 / fs,
+            args.xcorr_window_samp or int(0.02 * fs))
+        results["merger"] = M.merger_window_scores(b_al, a_al, t_al,
+                                                   prep["sigma"])
+        print(f"[infer] corr_last={m_strain['corr_last']:.4f} "
+              f"mae_last={m_strain['mae_last']:.4e} "
+              f"merger_nmae_sigma={results['merger']['nmae_sigma']:.4f}")
+
+    if args.one_step_proxy and prep["clean_norm"] is not None:
+        key, kp = jax.random.split(key)
+        x0_proxy = proxy_reconstruct(model, params, schedule, prep, cfg, kp,
+                                     args.target_snr)
+        np.save(os.path.join(args.outdir, f"proxy_{tag}.npy"), x0_proxy)
+        results["proxy"] = M.score_last_window(x0_proxy, prep["clean_raw"], fs,
+                                               args.score_secs)
+
+    with open(os.path.join(args.outdir, f"metrics_{tag}.json"), "w") as fh:
+        json.dump(results, fh, indent=2)
+
+    if args.plot:
+        _plots(args, prep, x0_raw, fs, tag)
+    print(f"[infer] artifacts -> {args.outdir} (tag={tag})")
+
+
+def _plots(args, prep, x0_raw, fs, tag):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..evals import metrics as M
+
+    L = prep["L"]
+    t = np.arange(L) / fs
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.plot(t, prep["y_raw"], lw=0.3, alpha=0.5, label="measurement")
+    if prep["clean_raw"] is not None:
+        ax.plot(t, prep["clean_raw"], lw=0.8, label="clean")
+    ax.plot(t, x0_raw, lw=0.8, label="recon")
+    ax.legend()
+    ax.set_xlabel("t [s]")
+    fig.savefig(os.path.join(args.outdir, f"overlay_{tag}.png"), dpi=120)
+    plt.close(fig)
+
+    if prep["clean_raw"] is not None:
+        a_al, b_al, t_al = M.align_xcorr(prep["clean_raw"], x0_raw, 1.0 / fs,
+                                         int(0.02 * fs))
+        fig, ax = plt.subplots(figsize=(10, 4))
+        ax.plot(t_al, a_al, lw=0.8, label="clean (aligned)")
+        ax.plot(t_al, b_al, lw=0.8, label="recon (aligned)")
+        ax.set_xlim(-0.25, 0.1)
+        ax.legend()
+        ax.set_xlabel("t - t_merger [s]")
+        fig.savefig(os.path.join(args.outdir, f"xcorr_{tag}.png"), dpi=120)
+        plt.close(fig)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

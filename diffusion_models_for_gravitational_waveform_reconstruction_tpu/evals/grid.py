@@ -1,0 +1,274 @@
+"""Mass-grid heatmap evaluator.
+
+Reference parity (``/root/reference/src/snr_denoising/grid_infer.py``):
+- discrete (m1, m2) axes from the unique dataset masses with midpoint bin
+  edges (``grid_infer.py:174-201``, ``355-365``);
+- per-cell random sample selection ``--per-cell`` (``grid_infer.py:434-448``);
+- sampler knobs parsed from sweep artifacts (``best_cmd.txt`` /
+  ``final_results.json``) with CLI overrides (``grid_infer.py:128-170``);
+- scoring windows full/tail/merger and alignment none/peak/xcorr
+  (``grid_infer.py:22-49``), MAE normalisations by sigma / clean
+  (``grid_infer.py:415-418``);
+- pandas aggregation to ``per_index_metrics.csv`` / ``metrics_grid.csv`` /
+  ``metrics_grid.json`` (``grid_infer.py:453-477``), annotated heatmap PNGs
+  (``grid_infer.py:492-559``) and ``summary.json`` macro stats
+  (``grid_infer.py:561-578``).
+
+TPU-first: all selected samples are reconstructed in BATCHES (one jitted
+scan per length group) rather than the reference's serial per-index loop
+(``grid_infer.py:372-448``).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..inference import dewhiten_back, load_model, reconstruct_batch
+from . import metrics as M
+from .sweep import Combo, _sampler_config, prep_samples
+
+
+# ---------------------------------------------------------------------------
+# Sweep artifact parsing (ref grid_infer.py:128-170)
+# ---------------------------------------------------------------------------
+
+def parse_sweep_best(sweep_dir: str) -> dict:
+    """Read sampler knobs from a sweep output directory.
+
+    Prefers ``final_results.json`` (top entry), falls back to parsing the
+    flags inside ``best_cmd.txt``.
+    """
+    fr = os.path.join(sweep_dir, "final_results.json")
+    gr = os.path.join(sweep_dir, "grid_results.json")
+    for path in (fr, gr):
+        if os.path.exists(path):
+            with open(path) as fh:
+                data = json.load(fh)
+            if data:
+                out = dict(data[0]["combo"])
+                out["steps"] = int(data[0].get("steps", 200))
+                return out
+    bc = os.path.join(sweep_dir, "best_cmd.txt")
+    if os.path.exists(bc):
+        with open(bc) as fh:
+            cmd = fh.read()
+        out = {}
+        for flag, key, cast in [
+            ("--steps", "steps", int), ("--eta", "eta", float),
+            ("--start-snr", "start_snr", float),
+            ("--init-mode", "init_mode", str),
+            ("--cfg-scale", "cfg_scale", float),
+            ("--cfg-mode", "cfg_mode", str),
+            ("--cfg-center", "cfg_center", float),
+            ("--cfg-width", "cfg_width", float),
+            ("--dc-weight", "dc_weight", float),
+        ]:
+            m = re.search(rf"{flag}\s+(\S+)", cmd)
+            if m:
+                out[key] = cast(m.group(1))
+        return out
+    raise FileNotFoundError(f"no sweep artifacts under {sweep_dir}")
+
+
+# ---------------------------------------------------------------------------
+# Axes / binning (ref grid_infer.py:174-201)
+# ---------------------------------------------------------------------------
+
+def midpoint_edges_from_values(vals: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Unique sorted values -> (centers, midpoint bin edges)."""
+    centers = np.unique(np.round(np.asarray(vals, np.float64), 6))
+    if len(centers) == 1:
+        c = centers[0]
+        return centers, np.array([c - 0.5, c + 0.5])
+    mids = 0.5 * (centers[1:] + centers[:-1])
+    first = centers[0] - (mids[0] - centers[0])
+    last = centers[-1] + (centers[-1] - mids[-1])
+    return centers, np.concatenate([[first], mids, [last]])
+
+
+def select_per_cell(
+    m1: np.ndarray, m2: np.ndarray, per_cell: int, min_per_cell: int,
+    rng: np.random.Generator, unordered: bool = False,
+) -> Dict[Tuple[float, float], np.ndarray]:
+    """{(m1_center, m2_center): indices} with per-cell subsampling."""
+    key1 = np.round(m1, 6)
+    key2 = np.round(m2, 6)
+    if unordered:
+        hi = np.maximum(key1, key2)
+        lo = np.minimum(key1, key2)
+        key1, key2 = hi, lo
+    cells: Dict[Tuple[float, float], list] = {}
+    for i in range(len(key1)):
+        cells.setdefault((float(key1[i]), float(key2[i])), []).append(i)
+    out = {}
+    for cell, idxs in cells.items():
+        if len(idxs) < min_per_cell:
+            continue
+        idxs = np.asarray(idxs)
+        if per_cell > 0 and len(idxs) > per_cell:
+            idxs = rng.choice(idxs, size=per_cell, replace=False)
+        out[cell] = np.sort(idxs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+def eval_indices(
+    args, model, params, schedule, ck, preps: List[dict], key: jax.Array,
+) -> List[dict]:
+    """Reconstruct + score all prepared samples, batched per length group."""
+    combo = Combo(
+        start_snr=args.start_snr, cfg_scale=args.cfg_scale,
+        init_mode=args.init_mode, dc_weight=args.dc_weight, eta=args.eta,
+        cfg_mode=args.cfg_mode, cfg_center=args.cfg_center,
+        cfg_width=args.cfg_width)
+    use_selfcond = int(ck.get("in_ch", 3)) == (1 + int(ck.get("cond_in_ch", 1)) + 1)
+    cfg = _sampler_config(combo, args.steps, schedule, ck, use_selfcond)
+
+    by_len: Dict[int, List[int]] = {}
+    for i, p in enumerate(preps):
+        by_len.setdefault(p["L"], []).append(i)
+
+    rows = []
+    for L, idxs in sorted(by_len.items()):
+        conds = np.concatenate([preps[i]["cond_stack"] for i in idxs], axis=0)
+        sigmas = np.array([preps[i]["sigma"] for i in idxs], np.float32)
+        cleans = [preps[i]["clean_norm"] for i in idxs]
+        cn = (np.concatenate(cleans, axis=0)
+              if all(c is not None for c in cleans) else None)
+        key, k = jax.random.split(key)
+        x0_white = reconstruct_batch(model, params, schedule, conds, sigmas,
+                                     cfg, k, clean_norms=cn)
+        for j, i in enumerate(idxs):
+            p = preps[i]
+            x0_raw = dewhiten_back(x0_white[j].astype(np.float64), p)
+            clean = p["clean_raw"]
+            if clean is None:
+                continue
+            a_al, b_al = M.apply_alignment(clean, x0_raw, p["fs"], args.align,
+                                           args.align_max_shift_s)
+            lo, hi = M.window_indices(args.win, a_al, p["fs"], args.tail_secs,
+                                      args.left, args.right)
+            c_w = a_al[lo:hi]
+            r_w = b_al[lo:hi]
+            mae = float(np.mean(np.abs(r_w - c_w)))
+            denom = (float(np.mean(np.abs(c_w))) + 1e-12
+                     if args.mae_norm == "clean" else p["sigma"] + 1e-12)
+            rows.append({
+                "index": p["index"],
+                "corr": M.corr(r_w, c_w),
+                "mae": mae,
+                "mae_norm": mae / denom,
+                "sigma": p["sigma"],
+                "L": p["L"],
+            })
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Aggregation + plots
+# ---------------------------------------------------------------------------
+
+def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
+    import pandas as pd
+
+    os.makedirs(args.outdir, exist_ok=True)
+    df = pd.DataFrame(rows)
+    df["m1"] = [labels[i]["m1"] for i in df["index"]]
+    df["m2"] = [labels[i]["m2"] for i in df["index"]]
+    df.to_csv(os.path.join(args.outdir, "per_index_metrics.csv"), index=False)
+
+    agg = df.groupby(["m1", "m2"]).agg(
+        corr_mean=("corr", "mean"), corr_std=("corr", "std"),
+        mae_mean=("mae_norm", "mean"), mae_std=("mae_norm", "std"),
+        n=("index", "count")).reset_index()
+    agg.to_csv(os.path.join(args.outdir, "metrics_grid.csv"), index=False)
+    agg.to_json(os.path.join(args.outdir, "metrics_grid.json"),
+                orient="records", indent=2)
+
+    c1, e1 = midpoint_edges_from_values(agg["m1"].values)
+    c2, e2 = midpoint_edges_from_values(agg["m2"].values)
+    grid_corr = np.full((len(c2), len(c1)), np.nan)
+    grid_mae = np.full((len(c2), len(c1)), np.nan)
+    for _, row in agg.iterrows():
+        i1 = int(np.argmin(np.abs(c1 - row["m1"])))
+        i2 = int(np.argmin(np.abs(c2 - row["m2"])))
+        grid_corr[i2, i1] = row["corr_mean"]
+        grid_mae[i2, i1] = row["mae_mean"]
+
+    plot_heat(args, grid_corr, c1, c2, e1, e2, args.title_corr, "corr",
+              os.path.join(args.outdir, "heat_corr.png"))
+    plot_heat(args, grid_mae, c1, c2, e1, e2, args.title_mae, "mae",
+              os.path.join(args.outdir, "heat_mae.png"))
+
+    summary = {
+        "n_rows": int(len(df)),
+        "n_cells": int(len(agg)),
+        "corr_macro_mean": float(agg["corr_mean"].mean()),
+        "corr_macro_median": float(agg["corr_mean"].median()),
+        "corr_micro_mean": float(df["corr"].mean()),
+        "mae_macro_mean": float(agg["mae_mean"].mean()),
+        "mae_macro_median": float(agg["mae_mean"].median()),
+        "mae_micro_mean": float(df["mae_norm"].mean()),
+        "knobs": {k: getattr(args, k) for k in
+                  ["steps", "eta", "start_snr", "init_mode", "cfg_scale",
+                   "cfg_mode", "cfg_center", "cfg_width", "dc_weight",
+                   "win", "align", "mae_norm"]},
+    }
+    with open(os.path.join(args.outdir, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return summary
+
+
+def plot_heat(args, grid: np.ndarray, c1, c2, e1, e2, title: str, kind: str,
+              path: str) -> None:
+    """Annotated heatmap with tick thinning + optional gridlines
+    (ref ``grid_infer.py:492-559``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6.5))
+    cmap = "viridis" if kind == "corr" else "magma_r"
+    pm = ax.pcolormesh(e1, e2, grid, cmap=cmap, shading="flat")
+    fig.colorbar(pm, ax=ax)
+    ax.set_xlabel(args.xlabel)
+    ax.set_ylabel(args.ylabel)
+    ax.set_title(title)
+
+    def thin(centers, max_ticks):
+        if len(centers) <= max_ticks:
+            return centers
+        stride = int(np.ceil(len(centers) / max_ticks))
+        return centers[::stride]
+
+    ax.set_xticks(thin(c1, args.max_ticks_x))
+    ax.set_yticks(thin(c2, args.max_ticks_y))
+    ax.set_xticklabels([args.tick_fmt % v for v in thin(c1, args.max_ticks_x)])
+    ax.set_yticklabels([args.tick_fmt % v for v in thin(c2, args.max_ticks_y)])
+
+    if args.gridlines:
+        for e in e1:
+            ax.axvline(e, color="w", alpha=args.gridline_alpha,
+                       lw=args.gridline_width)
+        for e in e2:
+            ax.axhline(e, color="w", alpha=args.gridline_alpha,
+                       lw=args.gridline_width)
+
+    if args.annot and grid.size <= 400:
+        for i2 in range(len(c2)):
+            for i1 in range(len(c1)):
+                v = grid[i2, i1]
+                if np.isfinite(v):
+                    ax.text(c1[i1], c2[i2],
+                            args.annot_fmt % (v / args.annot_div),
+                            ha="center", va="center", fontsize=7, color="w")
+    fig.savefig(path, dpi=130)
+    plt.close(fig)

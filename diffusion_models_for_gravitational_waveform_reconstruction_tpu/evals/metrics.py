@@ -79,7 +79,7 @@ def align_xcorr(a: np.ndarray, b: np.ndarray, delta_t: float,
     else:
         a_al = a[start:stop]
         b_al = b[start + k:stop + k]
-    t = np.arange(len(a_al), np.float64) * delta_t
+    t = np.arange(len(a_al), dtype=np.float64) * delta_t
     t -= t[int(np.argmax(np.abs(a_al)))]
     return a_al, b_al, t
 

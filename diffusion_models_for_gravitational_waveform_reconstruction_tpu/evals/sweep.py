@@ -1,0 +1,274 @@
+"""Sampler-hyperparameter sweep engine.
+
+Reference parity (``/root/reference/src/snr_denoising/sweep_infer.py``):
+- model + samples are prepared ONCE (``sweep_infer.py:163-199``);
+- objective J = corr_strain + 0.5 corr_white - 0.1 nmae_sigma
+  (``sweep_infer.py:8-13``);
+- grid mode over {start_snr x cfg x init x dc x eta}
+  (``sweep_infer.py:246-287``);
+- random mode: coarse draws -> top-k -> refine with several seeds
+  (``sweep_infer.py:289-326``), log-uniform start_snr;
+- artifacts ``grid_results.json`` / ``coarse_top.json`` /
+  ``final_results.json`` and a replayable ``best_cmd.txt``
+  (``sweep_infer.py:261-286``, ``328-351``).
+
+TPU-first: each combo evaluates ALL prepared samples in a single jitted
+``lax.scan`` (batched DDIM via ``inference.reconstruct_batch``) instead of
+the reference's serial per-sample Python loop (``sweep_infer.py:205-243``) —
+the prime vmap target flagged in SURVEY.md §3.4.  Whitening preparation uses
+the inference-order 'auto' cascade (model -> welch -> train); the reference's
+sweep used welch-first, an inconsistency this rebuild normalises
+(SURVEY.md §2, sweep-prep row).
+
+To bound XLA recompiles, random-mode start_snr draws are snapped to a
+start_t grid (multiples of ``START_T_QUANT``): each distinct
+(steps, start_t) pair is one compilation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..data import hdf5io
+from ..inference import load_model, prepare_measurement, reconstruct_batch
+from ..ops.sampling import SamplerConfig
+from ..ops.schedules import t_for_target_snr
+from . import metrics as M
+
+START_T_QUANT = 25
+
+
+@dataclasses.dataclass
+class Combo:
+    """One sampler-knob combination under sweep."""
+
+    start_snr: float
+    cfg_scale: float
+    init_mode: str
+    dc_weight: float
+    eta: float
+    cfg_mode: str = "const"
+    cfg_center: float = 0.70
+    cfg_width: float = 0.12
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def prep_samples(
+    h5_path: str,
+    indices: Sequence[int],
+    ck: dict,
+    ckpt_path: str,
+    whiten: bool,
+    whiten_mode: str,
+    sigma_mode: str,
+    sigma_fixed: float = 1.0,
+) -> List[dict]:
+    """Prepare each requested sample once (whiten/sigma/cond stack)."""
+    meta_scale = ck.get("meta_scale", {}) or {}
+    preps = []
+    for idx in indices:
+        y, clean, fs, P_model, welch, meta = hdf5io.load_measurement(
+            h5_path, int(idx))
+        p = prepare_measurement(
+            y, clean, fs, P_model, welch, meta,
+            cond_in_ch=int(ck.get("cond_in_ch", 1)),
+            M_SCALE=float(meta_scale.get("M", 80.0)),
+            Q_SCALE=float(meta_scale.get("q", 10.0)),
+            whiten=whiten, whiten_mode=whiten_mode,
+            sigma_mode=sigma_mode, sigma_fixed=sigma_fixed,
+            ckpt_path=ckpt_path)
+        p["index"] = int(idx)
+        preps.append(p)
+    return preps
+
+
+def _sampler_config(combo: Combo, steps: int, schedule, ck: dict,
+                    use_selfcond: bool) -> SamplerConfig:
+    start_t = t_for_target_snr(schedule, combo.start_snr)
+    start_t = int(np.clip(round(start_t / START_T_QUANT) * START_T_QUANT,
+                          START_T_QUANT, schedule.T - 1))
+    return SamplerConfig(
+        steps=steps, eta=combo.eta, start_t=start_t,
+        init_mode=combo.init_mode, dc_weight=combo.dc_weight,
+        cfg_scale=combo.cfg_scale, cfg_mode=combo.cfg_mode,
+        cfg_center=combo.cfg_center, cfg_width=combo.cfg_width,
+        use_selfcond=use_selfcond,
+        drop_y_only=bool(ck.get("dropout_y_only", True)))
+
+
+def eval_combo(
+    model, params, schedule, ck: dict,
+    preps: List[dict],
+    combo: Combo,
+    steps: int,
+    key: jax.Array,
+    sampler: str = "ddim",
+) -> dict:
+    """Evaluate one combo on all prepared samples (batched per length group).
+
+    Returns {J, J_mean/std per-sample metrics list, combo dict}.
+    """
+    use_selfcond = int(ck.get("in_ch", 3)) == (1 + int(ck.get("cond_in_ch", 1)) + 1)
+    cfg = _sampler_config(combo, steps, schedule, ck, use_selfcond)
+
+    by_len: Dict[int, List[int]] = {}
+    for i, p in enumerate(preps):
+        by_len.setdefault(p["L"], []).append(i)
+
+    per_sample = [None] * len(preps)
+    for L, idxs in sorted(by_len.items()):
+        conds = np.concatenate([preps[i]["cond_stack"] for i in idxs], axis=0)
+        sigmas = np.array([preps[i]["sigma"] for i in idxs], np.float32)
+        cleans = [preps[i]["clean_norm"] for i in idxs]
+        cn = (np.concatenate(cleans, axis=0)
+              if all(c is not None for c in cleans) else None)
+        key, k = jax.random.split(key)
+        x0_white = reconstruct_batch(model, params, schedule, conds, sigmas,
+                                     cfg, k, clean_norms=cn, sampler=sampler)
+        for j, i in enumerate(idxs):
+            p = preps[i]
+            from ..inference import dewhiten_back
+            x0_raw = dewhiten_back(x0_white[j].astype(np.float64), p)
+            m_strain = m_white = None
+            if p["clean_raw"] is not None:
+                m_strain = M.score_last_window(x0_raw, p["clean_raw"], p["fs"])
+                a_al, b_al, t_al = M.align_xcorr(p["clean_raw"], x0_raw,
+                                                 1.0 / p["fs"],
+                                                 int(0.02 * p["fs"]))
+                m_strain.update(M.merger_window_scores(b_al, a_al, t_al,
+                                                       p["sigma"]))
+            if p["clean_for_cond"] is not None:
+                m_white = M.score_last_window(x0_white[j], p["clean_for_cond"],
+                                              p["fs"])
+            per_sample[i] = {
+                "index": p["index"],
+                "J": M.sweep_objective(m_strain, m_white),
+                "strain": m_strain, "white": m_white,
+            }
+
+    Js = [s["J"] for s in per_sample if s is not None]
+    return {
+        "combo": combo.to_dict(),
+        "steps": steps,
+        "start_t": cfg.start_t,
+        "J": float(np.mean(Js)) if Js else float("nan"),
+        "J_std": float(np.std(Js)) if Js else float("nan"),
+        "per_sample": per_sample,
+    }
+
+
+def sample_combo(rng: np.random.Generator, args) -> Combo:
+    """Random-mode combo draw; start_snr is log-uniform
+    (ref ``sweep_infer.py:295``)."""
+    lo, hi = np.log(args.start_snr_min), np.log(args.start_snr_max)
+    return Combo(
+        start_snr=float(np.exp(rng.uniform(lo, hi))),
+        cfg_scale=float(rng.uniform(args.cfg_min, args.cfg_max)),
+        init_mode=str(rng.choice(args.init_choices)),
+        dc_weight=float(rng.choice(args.dc_choices)),
+        eta=float(rng.choice(args.eta_choices)),
+        cfg_mode=args.cfg_mode,
+        cfg_center=float(rng.uniform(args.cfg_center_min, args.cfg_center_max)),
+        cfg_width=float(rng.uniform(args.cfg_width_min, args.cfg_width_max)),
+    )
+
+
+def best_cmd(args, combo: dict, steps: int) -> str:
+    """Replayable gw-infer command line (ref ``sweep_infer.py:265-283``)."""
+    return (
+        f"gw-infer --input-h5 {args.input_h5} --index {args.indices[0]} "
+        f"--model {args.model} --outdir {args.outdir}/best "
+        f"--steps {steps} --eta {combo['eta']} "
+        f"--start-snr {combo['start_snr']:.4g} "
+        f"--init-mode {combo['init_mode']} --cfg-scale {combo['cfg_scale']:.4g} "
+        f"--cfg-mode {combo['cfg_mode']} --cfg-center {combo['cfg_center']:.4g} "
+        f"--cfg-width {combo['cfg_width']:.4g} --dc-weight {combo['dc_weight']:.4g} "
+        f"--whiten {int(args.whiten)} --whiten-mode {args.whiten_mode} "
+        f"--sigma-mode {args.sigma_mode}"
+    )
+
+
+def run_grid(args, model, params, schedule, ck, preps, key) -> dict:
+    """Exhaustive product sweep (ref ``sweep_infer.py:246-287``)."""
+    results = []
+    combos = [
+        Combo(start_snr=s, cfg_scale=c, init_mode=i, dc_weight=d, eta=e,
+              cfg_mode=args.cfg_mode)
+        for s, c, i, d, e in itertools.product(
+            args.grid_snr, args.grid_cfg, args.grid_init, args.grid_dc,
+            args.grid_eta)
+    ]
+    print(f"[sweep] grid: {len(combos)} combos x {len(preps)} samples "
+          f"@ {args.steps_coarse} steps")
+    for n, combo in enumerate(combos):
+        key, k = jax.random.split(key)
+        r = eval_combo(model, params, schedule, ck, preps, combo,
+                       args.steps_coarse, k)
+        results.append(r)
+        print(f"[sweep] {n + 1}/{len(combos)} J={r['J']:.4f}  {combo.to_dict()}")
+
+    results.sort(key=lambda r: -r["J"])
+    _dump(args.outdir, "grid_results.json", results)
+    top = results[0]
+    with open(os.path.join(args.outdir, "best_cmd.txt"), "w") as fh:
+        fh.write(best_cmd(args, top["combo"], args.steps_refine) + "\n")
+    return top
+
+
+def run_random(args, model, params, schedule, ck, preps, key) -> dict:
+    """Coarse random search -> top-k refinement (ref
+    ``sweep_infer.py:289-326``)."""
+    rng = np.random.default_rng(args.seed)
+    coarse = []
+    print(f"[sweep] coarse: {args.n_coarse} draws @ {args.steps_coarse} steps")
+    for n in range(args.n_coarse):
+        combo = sample_combo(rng, args)
+        key, k = jax.random.split(key)
+        r = eval_combo(model, params, schedule, ck, preps, combo,
+                       args.steps_coarse, k)
+        coarse.append(r)
+        print(f"[sweep] coarse {n + 1}/{args.n_coarse} J={r['J']:.4f}")
+
+    coarse.sort(key=lambda r: -r["J"])
+    top_k = coarse[: args.topk]
+    _dump(args.outdir, "coarse_top.json", top_k)
+
+    finals = []
+    print(f"[sweep] refine: top-{len(top_k)} x {args.seeds_refine} seeds "
+          f"@ {args.steps_refine} steps")
+    for r in top_k:
+        combo = Combo(**r["combo"])
+        Js = []
+        for s in range(args.seeds_refine):
+            key, k = jax.random.split(key)
+            rr = eval_combo(model, params, schedule, ck, preps, combo,
+                            args.steps_refine, k)
+            Js.append(rr["J"])
+        finals.append({"combo": combo.to_dict(),
+                       "J": float(np.mean(Js)),
+                       "J_std": float(np.std(Js)),
+                       "J_seeds": Js,
+                       "steps": args.steps_refine})
+        print(f"[sweep] refined J={finals[-1]['J']:.4f} "
+              f"(+-{finals[-1]['J_std']:.4f}) {combo.to_dict()}")
+
+    finals.sort(key=lambda r: -r["J"])
+    _dump(args.outdir, "final_results.json", finals)
+    top = finals[0]
+    with open(os.path.join(args.outdir, "best_cmd.txt"), "w") as fh:
+        fh.write(best_cmd(args, top["combo"], args.steps_refine) + "\n")
+    return top
+
+
+def _dump(outdir: str, name: str, obj) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, name), "w") as fh:
+        json.dump(obj, fh, indent=2, default=float)

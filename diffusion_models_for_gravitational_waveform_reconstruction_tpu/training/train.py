@@ -128,6 +128,12 @@ class TrainConfig:
     # checkpointing
     init_from: Optional[str] = None
     save_every_epochs: int = 0          # 0 = final only (reference behaviour)
+    resume: Optional[str] = None        # full-state resume (params/EMA/opt/epoch)
+
+    # profiling (SURVEY.md §5.1: the reference has none; TPU rebuild adds
+    # jax.profiler traces + steps/sec counters)
+    profile_dir: Optional[str] = None
+    profile_steps: Tuple[int, int] = (10, 20)   # [start, stop) global steps
 
 
 class TrainState(NamedTuple):
@@ -464,15 +470,34 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
     step_fn = make_train_step(model, schedule, cfg, optimizer, lr_sched)
     probe_fn = make_probe_fn(model, schedule, cfg) if cfg.probe_cond else None
 
+    start_epoch = 1
+    if cfg.resume:
+        ck = load_checkpoint(cfg.resume)
+        state = TrainState(
+            params=restore_params(state.params, ck["model_state"]),
+            ema_params=(restore_params(state.ema_params, ck["model_ema_state"])
+                        if "model_ema_state" in ck else state.ema_params),
+            opt_state=(restore_params(state.opt_state, ck["optimizer_state"])
+                       if "optimizer_state" in ck else state.opt_state),
+            step=jnp.asarray(int(ck.get("epoch", 0)) * n_batches, jnp.int32),
+        )
+        start_epoch = int(ck.get("epoch", 0)) + 1
+        print(f"[train] resumed from {cfg.resume} at epoch {start_epoch}")
+
     if mesh is None and cfg.data_parallel and len(jax.devices()) > 1:
-        mesh = pmesh.make_mesh()
+        if cfg.batch_size % len(jax.devices()) == 0:
+            mesh = pmesh.make_mesh()
+        else:
+            print(f"[train] batch_size={cfg.batch_size} not divisible by "
+                  f"{len(jax.devices())} devices; running without DP sharding")
     if mesh is not None:
         state = TrainState(*[pmesh.replicate_tree(x, mesh) for x in state[:3]],
                            step=state.step)
 
     history = []
-    global_step = 0
-    for epoch in range(1, cfg.epochs + 1):
+    global_step = (start_epoch - 1) * n_batches
+    profiling = False
+    for epoch in range(start_epoch, cfg.epochs + 1):
         t_min_epoch = int(max(0, min(cfg.T - 1, int(cfg.t_min_frac * cfg.T))))
         p_u = 0.0 if epoch <= cfg.force_cond_epochs else cfg.p_uncond
         p_sc = 0.0 if epoch <= cfg.force_cond_epochs else cfg.p_selfcond
@@ -480,7 +505,11 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
               f"p_selfcond={p_sc:.2f} t_min={t_min_epoch}")
 
         sum_loss_w, sum_w, batch_losses, skipped = 0.0, 0, [], 0
+        t_epoch0 = time.time()
         for i, batch in enumerate(dpipe.iterate_batches(dataset, cfg.batch_size, rng)):
+            if cfg.profile_dir and global_step == cfg.profile_steps[0]:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
             jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
             if mesh is not None:
                 jb = pmesh.shard_batch(jb, mesh)
@@ -505,6 +534,11 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
                 "grad_norm": float(m["grad_norm"]), "lr": float(m["lr"]),
             })
             global_step += 1
+            if profiling and global_step >= cfg.profile_steps[1]:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"[train] profiler trace -> {cfg.profile_dir}")
 
             if probe_fn is not None and (i % max(1, cfg.probe_interval) == 0):
                 sigma_ = jb["sigma"].reshape(-1, 1, 1)
@@ -528,11 +562,21 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
         avg = sum_loss_w / max(1, sum_w)
         mean_b = float(np.mean(batch_losses)) if batch_losses else float("nan")
         med_b = float(np.median(batch_losses)) if batch_losses else float("nan")
+        # throughput counters (SURVEY.md §5.1 / BASELINE metric family)
+        dt_epoch = max(1e-9, time.time() - t_epoch0)
+        steps_per_s = n_batches / dt_epoch
+        samples_per_s = steps_per_s * cfg.batch_size
+        n_dev = max(1, len(jax.devices()))
         print(f"[train] epoch {epoch}: avg/sample={avg:.6f} mean/batch={mean_b:.6f} "
-              f"median/batch={med_b:.6f} skipped={skipped}")
+              f"median/batch={med_b:.6f} skipped={skipped} "
+              f"({steps_per_s:.2f} steps/s, {samples_per_s:.1f} samples/s, "
+              f"{samples_per_s / n_dev:.1f} samples/s/chip)")
         logger.log({"phase": "epoch_end", "epoch": epoch, "avg_per_sample": avg,
                     "mean_per_batch": mean_b, "median_per_batch": med_b,
                     "skipped_batches": skipped,
+                    "steps_per_sec": steps_per_s,
+                    "samples_per_sec": samples_per_s,
+                    "samples_per_sec_per_chip": samples_per_s / n_dev,
                     "elapsed_s": time.time() - t_run0})
         history.append({"epoch": epoch, "avg_per_sample": avg})
 

