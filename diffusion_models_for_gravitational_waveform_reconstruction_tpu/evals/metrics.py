@@ -108,10 +108,11 @@ def apply_alignment(a: np.ndarray, b: np.ndarray, fs: float, mode: str = "none",
         return align_peak(a, b)
     max_shift = int(max(1, max_shift_s * fs))
     k = best_lag_xcorr(a, b, max_shift)
+    # best_lag convention: v(k) = sum a[i] b[i+k] -> pair a[i] with b[i+k]
     if k > 0:
-        a_al, b_al = a[k:], b[: len(b) - k]
+        a_al, b_al = a[: len(a) - k], b[k:]
     elif k < 0:
-        a_al, b_al = a[: len(a) + k], b[-k:]
+        a_al, b_al = a[-k:], b[: len(b) + k]
     else:
         a_al, b_al = a, b
     L = min(len(a_al), len(b_al))

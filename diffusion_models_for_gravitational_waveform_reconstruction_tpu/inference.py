@@ -54,7 +54,13 @@ SIGMA_FALLBACK = {"train": 2.914e-12, "welch": 2.914e-16, "model": 2.914e-16,
 
 def load_model(ckpt_path: str, use_ema: bool = True):
     """Rebuild the UNet + schedule from checkpoint args (ref
-    ``inference.py:614-653``).  Returns (model, params, schedule, ck_args)."""
+    ``inference.py:614-653``).  Returns (model, params, schedule, ck_args).
+
+    Accepts both this framework's ``.msgpack`` checkpoints and reference
+    torch ``.pth`` checkpoints (weights converted via ``utils.torch_compat``).
+    """
+    if ckpt_path.endswith((".pth", ".pt")):
+        return _load_torch_model(ckpt_path, use_ema)
     ckpt = load_checkpoint(ckpt_path)
     ck = ckpt["args"]
     in_ch = int(ck.get("in_ch", 3))
@@ -78,6 +84,35 @@ def load_model(ckpt_path: str, use_ema: bool = True):
     weights, used_ema = select_weights(ckpt, use_ema=use_ema)
     params = restore_params(params_t, weights)
     print(f"[infer] loaded {'EMA' if used_ema else 'raw'} weights from {ckpt_path}")
+    schedule = make_schedule(T, ck.get("schedule", "cosine"))
+    return model, params, schedule, ck
+
+
+def _load_torch_model(pth_path: str, use_ema: bool = True):
+    """Load a REFERENCE torch checkpoint (``train.py:607-629`` payload) by
+    converting its state_dict into our flax pytree."""
+    import torch
+
+    from .utils.torch_compat import torch_state_dict_to_flax
+
+    payload = torch.load(pth_path, map_location="cpu", weights_only=False)
+    ck = dict(payload.get("args", {}))
+    in_ch = int(ck.get("in_ch", 3))
+    cond_in_ch = int(ck.get("cond_in_ch", 1))
+    depth = int(ck.get("depth", 3))
+    T = int(ck.get("T", 1000))
+    use_selfcond = in_ch == (1 + cond_in_ch + 1)
+    model = UNet1D(
+        in_ch=in_ch, base_ch=int(ck.get("base_ch", 64)),
+        time_dim=int(ck.get("time_dim", 128)), depth=depth,
+        t_embed_max_time=max(0, T - 1), cond_in_ch=cond_in_ch,
+        use_selfcond=use_selfcond)
+    key = ("model_ema_state" if use_ema and "model_ema_state" in payload
+           else "model_state")
+    sd = {k: v.detach().cpu().numpy() for k, v in payload[key].items()}
+    params = torch_state_dict_to_flax(sd, depth)
+    print(f"[infer] converted torch checkpoint {pth_path} "
+          f"({'EMA' if key == 'model_ema_state' else 'raw'})")
     schedule = make_schedule(T, ck.get("schedule", "cosine"))
     return model, params, schedule, ck
 
@@ -343,9 +378,15 @@ def reconstruct_batch(
     key: jax.Array,
     clean_norms: Optional[np.ndarray] = None,
     sampler: str = "ddim",
+    mesh=None,
 ) -> np.ndarray:
     """Batched sampling: one jitted scan over B measurements at once (the
     reference loops samples serially, ``sweep_infer.py:205-243``).
+
+    With ``mesh`` the batch is sharded over the mesh's ``data`` axis and
+    params are replicated — population-scale reconstruction on a slice
+    (BASELINE config 5) is this call with B = population size.  B must be
+    divisible by the data-axis size (pad upstream).
 
     Returns whitened-domain reconstructions (B, L).
     """
@@ -354,8 +395,16 @@ def reconstruct_batch(
         return model.apply(p, x, t)
 
     sample_fn = ddim_sample if sampler == "ddim" else ddpm_sample
+    cond = jnp.asarray(cond_stacks)
     cn = jnp.asarray(clean_norms) if clean_norms is not None else None
-    x0_norm = sample_fn(model_fn, params, schedule, jnp.asarray(cond_stacks),
+    if mesh is not None:
+        from .parallel import mesh as pmesh
+
+        cond = jax.device_put(cond, pmesh.batch_sharding(mesh))
+        params = pmesh.replicate_tree(params, mesh)
+        if cn is not None:
+            cn = jax.device_put(cn, pmesh.batch_sharding(mesh))
+    x0_norm = sample_fn(model_fn, params, schedule, cond,
                         key, cfg, clean_norm=cn)
     return np.asarray(x0_norm)[:, 0, :] * np.asarray(sigmas)[:, None]
 

@@ -66,18 +66,50 @@ def _num_groups(out_ch: int) -> int:
     return max(1, math.gcd(8, out_ch))
 
 
+class _GNParams(nn.Module):
+    """Bare GroupNorm scale/bias params with nn.GroupNorm's exact pytree
+    layout (``<name>/scale``, ``<name>/bias``) so the Pallas-fused and plain
+    paths share checkpoints."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.ch,))
+        b = self.param("bias", nn.initializers.zeros, (self.ch,))
+        return s, b
+
+
 class ConvBlock(nn.Module):
-    """Conv1d(k, same) -> GroupNorm(gcd(8, C)) -> SiLU on (B, L, C)."""
+    """Conv1d(k, same) -> GroupNorm(gcd(8, C)) -> SiLU on (B, L, C).
+
+    With ``use_pallas`` the GN+SiLU epilogue runs as one fused Pallas kernel
+    (single VMEM pass, MXU-matmul group statistics) when the stage block
+    fits VMEM; otherwise it falls back to the flax ops.  Measured on v5e
+    (tools/bench_kernels.py): XLA already fuses this chain to ~0.03 ms at
+    batch-64 stage shapes, so the kernel is at best at parity — it exists as
+    the scaffold for deeper fusion (conv epilogue), not as a default win.
+    """
 
     out_ch: int
     kernel: int = 3
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = nn.Conv(self.out_ch, (self.kernel,), padding="SAME", dtype=self.dtype,
                     name="conv")(x)
-        h = nn.GroupNorm(num_groups=_num_groups(self.out_ch), epsilon=1e-5,
+        groups = _num_groups(self.out_ch)
+        if self.use_pallas:
+            from ..ops.pallas.fused import fused_groupnorm_silu_film, vmem_ok
+
+            B, L, C = h.shape
+            if vmem_ok(L, C):
+                s, b = _GNParams(C, name="norm")()
+                zeros = jnp.zeros((B, C), h.dtype)
+                return fused_groupnorm_silu_film(h, s, b, zeros, zeros, groups)
+        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
                          dtype=self.dtype, name="norm")(h)
         return nn.silu(h)
 
@@ -91,6 +123,7 @@ class BottleneckAttention(nn.Module):
 
     num_heads: int = 4
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h: jnp.ndarray) -> jnp.ndarray:  # (B, L, C)
@@ -106,12 +139,23 @@ class BottleneckAttention(nn.Module):
             return a.reshape(B, L, heads, C // heads).transpose(0, 2, 1, 3)
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        scale = 1.0 / math.sqrt(C // heads)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        B, _, L, _ = out.shape
+        L = q.shape[2]
+        d_head = C // heads
+        blk = 512 if L % 512 == 0 else (256 if L % 256 == 0 else 0)
+        # measured on v5e (tools/bench_kernels.py): the Pallas flash kernel
+        # beats XLA 2-3x at L >= 4096 (16 kHz long-segment bottlenecks) but
+        # loses below — XLA's materialised attention is fine for small L.
+        if self.use_pallas and blk and d_head % 8 == 0 and L >= 4096:
+            from ..ops.pallas.attention import flash_attention
+
+            out = flash_attention(q, k, v, blk_q=blk, blk_k=blk)
+        else:
+            scale = 1.0 / math.sqrt(d_head)
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        B = out.shape[0]
         out = out.transpose(0, 2, 1, 3).reshape(B, L, C)
         out = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros,
                        name="proj")(out)
@@ -121,13 +165,22 @@ class BottleneckAttention(nn.Module):
 def _resize_linear(x: jnp.ndarray, new_len: int) -> jnp.ndarray:
     """Linear resize along axis 1 of (B, L, C), half-pixel centers.
 
-    Matches torch ``F.interpolate(mode='linear', align_corners=False)``
-    used by the reference for per-stage conditioning (``models.py:192``).
+    Exact parity with torch ``F.interpolate(mode='linear',
+    align_corners=False, antialias=False)`` used by the reference for
+    per-stage conditioning (``models.py:192``).  NOTE: ``jax.image.resize``
+    is NOT equivalent — it low-pass filters when downsampling (antialias),
+    which torch does not; this is a plain two-tap gather-lerp.
     """
-    if x.shape[1] == new_len:
+    L = x.shape[1]
+    if L == new_len:
         return x
-    B, _, C = x.shape
-    return jax.image.resize(x, (B, new_len, C), method="linear")
+    # source coords at output pixel centers (align_corners=False)
+    src = (jnp.arange(new_len, dtype=jnp.float32) + 0.5) * (L / new_len) - 0.5
+    src = jnp.clip(src, 0.0, L - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, L - 1)
+    w = (src - lo.astype(jnp.float32))[None, :, None].astype(x.dtype)
+    return x[:, lo, :] * (1.0 - w) + x[:, hi, :] * w
 
 
 def _fix_len(h: jnp.ndarray, target_len: int) -> jnp.ndarray:
@@ -159,6 +212,7 @@ class UNet1D(nn.Module):
     use_attention: bool = False          # extension: bottleneck self-attention
     attn_heads: int = 4
     dtype: Optional[jnp.dtype] = None    # compute dtype (bf16 on TPU); params f32
+    use_pallas: bool = False             # Pallas-fused GN+SiLU / flash attention
 
     def _layout(self):
         use_sc = self.use_selfcond
@@ -213,18 +267,21 @@ class UNet1D(nn.Module):
         skips = []
         h = x
         for i, out_c in enumerate(chs):
-            h = ConvBlock(out_c, self.kernel, dtype=self.dtype, name=f"enc{i}")(h)
+            h = ConvBlock(out_c, self.kernel, dtype=self.dtype,
+                          use_pallas=self.use_pallas, name=f"enc{i}")(h)
             h = cond_bias(h, f"cond_enc{i}")
             h = film(h, f"tproj_enc{i}")
             skips.append(h)
             h = nn.avg_pool(h, (2,), strides=(2,))
 
         # ---------------- bottleneck ----------------
-        h = ConvBlock(chs[-1], self.kernel, dtype=self.dtype, name="mid")(h)
+        h = ConvBlock(chs[-1], self.kernel, dtype=self.dtype,
+                      use_pallas=self.use_pallas, name="mid")(h)
         h = cond_bias(h, "cond_mid")
         h = film(h, "tproj_mid")
         if self.use_attention:
             h = BottleneckAttention(num_heads=self.attn_heads, dtype=self.dtype,
+                                    use_pallas=self.use_pallas,
                                     name="mid_attn")(h)
 
         # ---------------- decoder ----------------
@@ -233,7 +290,8 @@ class UNet1D(nn.Module):
             h = jnp.repeat(h, 2, axis=1)           # nearest x2 (ref models.py:127)
             h = _fix_len(h, skip.shape[1])
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ConvBlock(skip_ch, self.kernel, dtype=self.dtype, name=f"dec{i}")(h)
+            h = ConvBlock(skip_ch, self.kernel, dtype=self.dtype,
+                          use_pallas=self.use_pallas, name=f"dec{i}")(h)
             h = cond_bias(h, f"cond_dec{i}")
             h = film(h, f"tproj_dec{i}")
 

@@ -1,0 +1,107 @@
+"""Scoring/alignment metrics vs brute-force references."""
+import numpy as np
+import pytest
+
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.evals.metrics import (
+    apply_alignment,
+    best_lag_xcorr,
+    corr,
+    matched_filter_snr,
+    merger_window_scores,
+    score_last_window,
+    sweep_objective,
+    window_indices,
+)
+
+
+def brute_force_lag(a, b, max_shift):
+    """O(L * shift) reference identical to the reference's Python loop
+    (``inference.py:247-278``)."""
+    best, best_v = 0, -np.inf
+    L = min(len(a), len(b))
+    for k in range(-max_shift, max_shift + 1):
+        if k >= 0:
+            v = float(np.dot(a[: L - k], b[k:L]))
+        else:
+            v = float(np.dot(a[-k:L], b[: L + k]))
+        if v > best_v:
+            best_v, best = v, k
+    return best
+
+
+def test_best_lag_matches_brute_force(rng):
+    a = rng.normal(size=500)
+    for true_lag in [-37, 0, 12, 101]:
+        b = np.roll(a, -true_lag) + 0.05 * rng.normal(size=500)
+        k_fft = best_lag_xcorr(a, b, 128)
+        k_bf = brute_force_lag(a, b, 128)
+        assert k_fft == k_bf
+
+
+def test_shifted_recovery(rng):
+    clean = np.sin(2 * np.pi * 30 * np.arange(2048) / 4096) * np.hanning(2048)
+    recon = np.roll(clean, 25)
+    a_al, b_al = apply_alignment(clean, recon, 4096.0, "xcorr",
+                                 max_shift_s=0.02)
+    assert corr(a_al, b_al) > 0.999
+
+
+def test_score_last_window_perfect():
+    fs = 4096.0
+    x = np.sin(np.arange(4096) * 0.1)
+    m = score_last_window(x, x, fs, 0.5)
+    assert m["corr_last"] == pytest.approx(1.0)
+    assert m["mae_last"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_window_indices_modes():
+    fs = 4096.0
+    clean = np.zeros(4096)
+    clean[3000] = 1.0
+    assert window_indices("full", clean, fs) == (0, 4096)
+    lo, hi = window_indices("tail", clean, fs, tail_secs=0.5)
+    assert (lo, hi) == (4096 - 2048, 4096)
+    lo, hi = window_indices("merger", clean, fs, left_s=0.08, right_s=0.04)
+    assert lo == int(3000 - 0.08 * fs) and hi == int(3000 + 0.04 * fs)
+
+
+def test_sweep_objective_formula():
+    J = sweep_objective({"corr_last": 0.8, "nmae_sigma": 0.5},
+                        {"corr_last": 0.6})
+    assert J == pytest.approx(0.8 + 0.5 * 0.6 - 0.1 * 0.5)
+
+
+def test_matched_filter_snr_self_recovery():
+    """A template scaled to SNR rho, matched against itself, recovers rho."""
+    import jax
+    jax_cfg_done = True
+    import jax.numpy as jnp
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.synth import (
+        PSD_SCALE,
+        SynthConfig,
+        aligo_zdhp_psd,
+        matched_filter_sigma,
+        newtonian_chirp,
+    )
+
+    cfg = SynthConfig(n=8192, fs=4096)
+    h = np.asarray(newtonian_chirp(jnp.array(35.0), jnp.array(30.0),
+                                   n=cfg.n, fs=cfg.fs), np.float64)
+    freqs = np.fft.rfftfreq(cfg.n, 1.0 / cfg.fs)
+    psd_phys = np.asarray(aligo_zdhp_psd(jnp.asarray(freqs)),
+                          np.float64) / PSD_SCALE
+    sig = float(matched_filter_sigma(jnp.asarray(h, jnp.float32),
+                                     jnp.asarray(psd_phys * PSD_SCALE),
+                                     cfg.fs))
+    target = 15.0
+    h_scaled = h * (target / sig)
+    rho = matched_filter_snr(h_scaled, h_scaled, psd_phys, cfg.fs)
+    assert rho == pytest.approx(target, rel=2e-2)
+
+
+def test_merger_window_scores_zero_for_identical():
+    t = np.linspace(-0.2, 0.1, 1000)
+    x = np.sin(t * 300)
+    m = merger_window_scores(x, x, t, sigma=1.0)
+    assert m["mae"] == pytest.approx(0.0, abs=1e-12)

@@ -1,0 +1,101 @@
+"""Kernel micro-benchmarks on the real TPU: Pallas vs plain XLA.
+
+Run on hardware (the axon-attached chip); prints one JSON line per
+comparison.  Used to decide whether ``use_pallas`` defaults on."""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, reps=20):
+    fn(*args).block_until_ready()          # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_gn():
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.pallas.fused import (
+        fused_groupnorm_silu_film,
+        fused_groupnorm_silu_film_reference,
+    )
+
+    for (B, L, C) in [(64, 4096, 64), (64, 2048, 128), (64, 1024, 256)]:
+        g = 8
+        ks = jax.random.split(jax.random.PRNGKey(0), 5)
+        x = jax.random.normal(ks[0], (B, L, C), jnp.float32)
+        w = jnp.ones((C,)); b = jnp.zeros((C,))
+        fg = jax.random.normal(ks[1], (B, C)) * 0.1
+        fb = jax.random.normal(ks[2], (B, C)) * 0.1
+
+        ref = jax.jit(lambda x, w, b, fg, fb:
+                      fused_groupnorm_silu_film_reference(x, w, b, fg, fb, g))
+        pal = jax.jit(lambda x, w, b, fg, fb:
+                      fused_groupnorm_silu_film(x, w, b, fg, fb, g))
+        t_ref = timeit(ref, x, w, b, fg, fb)
+        t_pal = timeit(pal, x, w, b, fg, fb)
+        print(json.dumps({"kernel": "gn_silu_film", "shape": [B, L, C],
+                          "xla_ms": round(t_ref * 1e3, 3),
+                          "pallas_ms": round(t_pal * 1e3, 3),
+                          "speedup": round(t_ref / t_pal, 2)}))
+
+
+def bench_attention():
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.pallas.attention import (
+        flash_attention,
+        flash_attention_reference,
+    )
+
+    for (B, H, L, D) in [(8, 4, 2048, 64), (4, 4, 4096, 64), (2, 4, 8192, 64)]:
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, H, L, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, H, L, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, H, L, D), jnp.float32)
+        ref = jax.jit(flash_attention_reference)
+        t_ref = timeit(ref, q, k, v)
+        t_pal = timeit(lambda q, k, v: flash_attention(q, k, v), q, k, v)
+        # correctness on hardware too
+        err = float(jnp.max(jnp.abs(flash_attention(q, k, v)
+                                    - ref(q, k, v))))
+        print(json.dumps({"kernel": "flash_attention", "shape": [B, H, L, D],
+                          "xla_ms": round(t_ref * 1e3, 3),
+                          "pallas_ms": round(t_pal * 1e3, 3),
+                          "speedup": round(t_ref / t_pal, 2),
+                          "max_abs_err": err}))
+
+
+def bench_unet():
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models.unet import (
+        UNet1D,
+    )
+
+    B, L = 64, 4096
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, 7, L), jnp.float32)
+    t = jnp.zeros((B,), jnp.int32)
+    for pallas in (False, True):
+        model = UNet1D(in_ch=7, base_ch=64, time_dim=128, depth=3,
+                       cond_in_ch=5, use_selfcond=True, use_attention=True,
+                       dtype=jnp.bfloat16, use_pallas=pallas)
+        params = model.init(jax.random.PRNGKey(1), x[:1], t[:1])
+        fwd = jax.jit(lambda p, x, t: model.apply(p, x, t))
+        dt = timeit(fwd, params, x, t, reps=10)
+        print(json.dumps({"kernel": f"unet_fwd_pallas={pallas}",
+                          "shape": [B, 7, L],
+                          "ms": round(dt * 1e3, 3),
+                          "fwd_per_sec": round(1.0 / dt, 1)}))
+
+
+if __name__ == "__main__":
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    bench_gn()
+    bench_attention()
+    bench_unet()
