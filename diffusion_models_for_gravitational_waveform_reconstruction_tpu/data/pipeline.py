@@ -185,12 +185,14 @@ def prepare_dataset(
     mass_scale: Optional[float] = None,
     bucket_lengths: Optional[List[int]] = None,
     allow_no_signal: bool = False,
+    max_samples: Optional[int] = None,
 ) -> PreparedDataset:
     """Load + whiten + sigma + bucket a dataset once (see module docstring).
 
     ``bucket_lengths``: explicit static lengths; by default each sample goes
     to the next power of two >= its length (so a fixed-config dataset lands
     in a single bucket -> one XLA compilation).
+    ``max_samples``: cap for quick experiments on large datasets.
     """
     raw = hdf5io.load_full(h5_path, allow_no_signal=allow_no_signal)
     fs = raw["fs"]
@@ -198,7 +200,7 @@ def prepare_dataset(
     M = float(mass_scale if mass_scale is not None else meta_scale.get("M", 80.0))
 
     per_bucket: Dict[int, Dict[str, list]] = {}
-    n = raw["n"]
+    n = raw["n"] if max_samples is None else min(raw["n"], int(max_samples))
     for i in range(n):
         y = raw["noisy"][i]
         x = raw["signal"][i] if raw["signal"] is not None else np.zeros_like(y)
@@ -344,6 +346,38 @@ def iterate_batches(
     for Lb, sel in order:
         b = ds.buckets[Lb]
         yield {k: v[sel] for k, v in b.items()}
+
+
+def prefetch_to_device(batch_iter, size: int = 2, sharding=None):
+    """Double-buffered host->device transfer: keep ``size`` batches in
+    flight so the H2D copy of batch i+1 overlaps the compute of batch i
+    (``jax.device_put`` is asynchronous).
+
+    The reference relies on torch pinned-memory + non_blocking copies for
+    the same overlap (``train.py:324-332``); this is the JAX equivalent.
+    ``sharding``: optional NamedSharding for the batch arrays (DP mesh).
+    """
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    def put(batch):
+        out = {}
+        for k, v in batch.items():
+            if k == "index":
+                continue
+            a = jnp.asarray(v)
+            out[k] = jax.device_put(a, sharding) if sharding is not None else a
+        return out
+
+    queue = collections.deque()
+    for batch in batch_iter:
+        queue.append(put(batch))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
 
 
 def num_batches(ds: PreparedDataset, batch_size: int,

@@ -174,7 +174,20 @@ def _resize_linear(x: jnp.ndarray, new_len: int) -> jnp.ndarray:
     L = x.shape[1]
     if L == new_len:
         return x
-    # source coords at output pixel centers (align_corners=False)
+    if L % new_len == 0:
+        # integer downsample factor f: the half-pixel source coordinate is
+        # (i+0.5)f - 0.5 = f*i + (f/2 - 0.5), i.e. exactly halfway between
+        # elements f*i + f//2 - 1 and f*i + f//2 within each window — a
+        # reshape + two static middle-axis slices (XLA/TPU-friendly; avoids
+        # both gathers and strided slices on the sublane axis).
+        f = L // new_len
+        if f == 1:
+            return x
+        off = f // 2 - 1
+        B, _, C = x.shape
+        xr = x.reshape(B, new_len, f, C)
+        return 0.5 * (xr[:, :, off, :] + xr[:, :, off + 1, :])
+    # general case: two-tap gather-lerp at half-pixel centers
     src = (jnp.arange(new_len, dtype=jnp.float32) + 0.5) * (L / new_len) - 0.5
     src = jnp.clip(src, 0.0, L - 1)
     lo = jnp.floor(src).astype(jnp.int32)

@@ -506,13 +506,14 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
 
         sum_loss_w, sum_w, batch_losses, skipped = 0.0, 0, [], 0
         t_epoch0 = time.time()
-        for i, batch in enumerate(dpipe.iterate_batches(dataset, cfg.batch_size, rng)):
+        sharding = pmesh.batch_sharding(mesh) if mesh is not None else None
+        batches = dpipe.prefetch_to_device(
+            dpipe.iterate_batches(dataset, cfg.batch_size, rng),
+            size=2, sharding=sharding)
+        for i, jb in enumerate(batches):
             if cfg.profile_dir and global_step == cfg.profile_steps[0]:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
-            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
-            if mesh is not None:
-                jb = pmesh.shard_batch(jb, mesh)
             key, k_step = jax.random.split(key)
             state, m = step_fn(state, jb, k_step,
                                jnp.asarray(t_min_epoch),
