@@ -184,9 +184,25 @@ def main(argv: Optional[List[str]] = None) -> None:
             args.xcorr_window_samp or int(0.02 * fs))
         results["merger"] = M.merger_window_scores(b_al, a_al, t_al,
                                                    prep["sigma"])
+        if P_model is not None:
+            # matched-filter SNR recovery (BASELINE quality metric): the
+            # recon filtered against the clean template under the model PSD,
+            # vs the injected SNR (clean against itself)
+            from numpy.fft import rfftfreq
+
+            from ..data.pipeline import interp_psd_np
+
+            P = interp_psd_np(P_model, len(P_model), prep["L"], fs)
+            rho_rec = M.matched_filter_snr(x0_raw, prep["clean_raw"], P, fs)
+            rho_inj = M.matched_filter_snr(prep["clean_raw"],
+                                           prep["clean_raw"], P, fs)
+            results["mf_snr"] = {"recovered": rho_rec, "injected": rho_inj,
+                                 "ratio": rho_rec / max(rho_inj, 1e-30)}
         print(f"[infer] corr_last={m_strain['corr_last']:.4f} "
               f"mae_last={m_strain['mae_last']:.4e} "
-              f"merger_nmae_sigma={results['merger']['nmae_sigma']:.4f}")
+              f"merger_nmae_sigma={results['merger']['nmae_sigma']:.4f}"
+              + (f" mf_snr_ratio={results['mf_snr']['ratio']:.4f}"
+                 if "mf_snr" in results else ""))
 
     if args.one_step_proxy and prep["clean_norm"] is not None:
         key, kp = jax.random.split(key)

@@ -107,3 +107,40 @@ def test_sweep_and_grid_handoff(workdir, dataset, checkpoint):
     # knobs flowed from the sweep artifacts
     assert s["knobs"]["cfg_scale"] == 1.0
     assert np.isfinite(s["corr_macro_mean"])
+
+
+def test_gen_fixed_and_random_modes(tmp_path):
+    import h5py
+
+    fixed = str(tmp_path / "fixed.h5")
+    cli_gen.main([
+        "--mode", "fixed", "--num-samples", "5", "--output-path", fixed,
+        "--mass1", "35", "--mass2", "30", "--snr", "18", "--seed", "1"])
+    with h5py.File(fixed, "r") as f:
+        assert len(f["signal"]) == 5
+        assert np.allclose(f["mass1"][:], 35.0)
+        assert np.allclose(f["snr"][:], 18.0)
+
+    rand = str(tmp_path / "rand.h5")
+    cli_gen.main([
+        "--mode", "random", "--num-samples", "6", "--output-path", rand,
+        "--mass1-min", "20", "--mass1-max", "50", "--mass2-min", "20",
+        "--mass2-max", "50", "--snr-min", "10", "--snr-max", "30",
+        "--spin1-min", "-0.5", "--spin1-max", "0.5", "--seed", "2"])
+    with h5py.File(rand, "r") as f:
+        m1 = np.asarray(f["mass1"][:])
+        m2 = np.asarray(f["mass2"][:])
+        assert len(m1) == 6
+        assert (m1 >= m2).all()                      # sorted convention
+        assert (np.asarray(f["snr"][:]) >= 10).all()
+        s1 = np.asarray(f["spin1z"][:])
+        assert (np.abs(s1) <= 0.5).all()
+
+
+def test_gen_probe_rejects_impossible_config(tmp_path):
+    # total mass ~600 Msun -> ISCO below f_lower: probe must fail
+    with pytest.raises(SystemExit):
+        cli_gen.main([
+            "--mode", "fixed", "--num-samples", "1",
+            "--output-path", str(tmp_path / "x.h5"),
+            "--mass1", "300", "--mass2", "300"])
