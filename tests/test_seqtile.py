@@ -1,0 +1,77 @@
+"""Tiled sequence-parallel forward vs the monolithic forward."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models.unet import (
+    UNet1D,
+)
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.parallel.seqtile import (
+    receptive_field_radius,
+    tiled_apply,
+)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = UNet1D(in_ch=3, base_ch=8, time_dim=16, depth=2, cond_in_ch=1,
+                   use_selfcond=True)
+    x0 = jnp.zeros((1, 3, 256))
+    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
+    # perturb the zero-init final head so outputs are non-trivial
+    import flax
+
+    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else dict(params)
+    k = jax.random.PRNGKey(9)
+    params["params"]["final"]["kernel"] = (
+        0.1 * jax.random.normal(k, params["params"]["final"]["kernel"].shape))
+    return model, params
+
+
+def test_tiled_matches_full_forward(small_model):
+    """With stationary (noise-like) input, tiled output tracks the full
+    forward closely; interior exactness is limited only by per-chunk GN."""
+    model, params = small_model
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 4096))
+    t = jnp.array([100, 300], jnp.int32)
+    full = model.apply(params, x, t)
+    tiled = tiled_apply(model, params, x, t, chunk=1024)
+    assert tiled.shape == full.shape
+    denom = np.abs(np.asarray(full)).max()
+    rel = np.abs(np.asarray(tiled) - np.asarray(full)).max() / (denom + 1e-30)
+    # per-chunk GroupNorm statistics are the only deviation source
+    assert rel < 0.15, rel
+    # and the outputs are strongly correlated
+    c = np.corrcoef(np.asarray(tiled).ravel(), np.asarray(full).ravel())[0, 1]
+    assert c > 0.99, c
+
+
+def test_tiled_handles_non_divisible_length(small_model):
+    model, params = small_model
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 3000))
+    t = jnp.zeros((1,), jnp.int32)
+    out = tiled_apply(model, params, x, t, chunk=1024)
+    assert out.shape == (1, 1, 3000)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiled_sharded_over_mesh(small_model):
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    model, params = small_model
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh()
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 8192))
+    t = jnp.zeros((1,), jnp.int32)
+    out = tiled_apply(model, params, x, t, chunk=1024, mesh=mesh)
+    ref = tiled_apply(model, params, x, t, chunk=1024)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_receptive_field_radius_monotone():
+    assert receptive_field_radius(3) > receptive_field_radius(2) > 0
