@@ -111,3 +111,78 @@ def test_unet_forward_parity(in_ch, cond_in_ch, selfcond, L):
     assert y_ours.shape == y_ref.shape
     assert np.abs(y_ref).max() > 0
     assert _rel_err(y_ours, y_ref) < 1e-4, _rel_err(y_ours, y_ref)
+
+
+def test_ddim_sampler_parity_mock_model():
+    """DDIM reverse-process algebra (t schedule, CFG weights/shortcuts,
+    eps->x0, dc blend, update rule) vs the reference sampler with a shared
+    DETERMINISTIC mock model and a shared deterministic init (dc_weight>0
+    with init injected through oracle clean), eta=0."""
+    import inference as ref_inf  # reference module (oracle)
+
+    T, steps, L = 200, 25, 256
+    sched = make_schedule(T, "cosine")
+    td = TorchDiffusion(T=T)
+
+    # deterministic mock: eps_hat = 0.2 * x_t + 0.1 * y  (uses cond channel)
+    class MockTorch(torch.nn.Module):
+        def forward(self, net_in, t):
+            x_t = net_in[:, :1, :]
+            y = net_in[:, 1:2, :]
+            return 0.2 * x_t + 0.1 * y
+
+    def mock_jax(params, net_in, t):
+        x_t = net_in[:, :1, :]
+        y = net_in[:, 1:2, :]
+        return 0.2 * x_t + 0.1 * y
+
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=(1, 1, L)).astype(np.float32)
+    clean = rng.normal(size=(1, 1, L)).astype(np.float32)
+    cond = y
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.sampling import (
+        SamplerConfig,
+        ddim_sample,
+    )
+
+    for cfg_mode, cfg_scale, dc in [("const", 1.5, 0.0), ("gauss", 2.0, 0.1),
+                                    ("tophat", 1.8, 0.0), ("const", 1.0, 0.0)]:
+        # reference run: oracle init makes x_T deterministic given clean...
+        # but q_sample draws noise; instead start from start_t=T-1 with
+        # init y-blend and zero noise by monkeypatching torch.randn
+        orig_randn = torch.randn
+        torch.randn = lambda *a, **k: torch.zeros(*a, **{kk: vv for kk, vv in k.items() if kk != "generator"})
+        try:
+            x_ref = ref_inf.ddim_sample(
+                MockTorch(), td, torch.from_numpy(cond), T=T, steps=steps,
+                eta=0.0, device=torch.device("cpu"), length=L, debug=False,
+                start_t=None, init_mode="y-blend", x0_std_est=0.14,
+                dc_weight=dc, cond_scale=1.0, eps_scale=1.0, pred_type="eps",
+                in_ch=3, cond_in_ch=1, use_selfcond=True,
+                cfg_scale=cfg_scale, cfg_mode=cfg_mode, cfg_center=0.7,
+                cfg_width=0.12, cfg_u_only_thresh=0.05).numpy()
+        finally:
+            torch.randn = orig_randn
+
+        # our run: same deterministic init via a zero-noise key path -> use
+        # init_mode="y-blend" whose noise comes from jax PRNG; inject zeros
+        # by running with a patched normal
+        import diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.sampling as S
+
+        orig_normal = jax.random.normal
+        jax.random.normal = lambda key, shape, dtype=jnp.float32: jnp.zeros(
+            shape, dtype)
+        try:
+            cfg = SamplerConfig(steps=steps, eta=0.0, init_mode="y-blend",
+                                dc_weight=dc, cfg_scale=cfg_scale,
+                                cfg_mode=cfg_mode, cfg_center=0.7,
+                                cfg_width=0.12, use_selfcond=True)
+            x_ours = np.asarray(ddim_sample(mock_jax, {}, sched,
+                                            jnp.asarray(cond),
+                                            jax.random.PRNGKey(0), cfg))
+        finally:
+            jax.random.normal = orig_normal
+
+        err = _rel_err(x_ours, x_ref)
+        assert err < 1e-4, (cfg_mode, cfg_scale, dc, err)
