@@ -144,3 +144,54 @@ def test_gen_probe_rejects_impossible_config(tmp_path):
             "--mode", "fixed", "--num-samples", "1",
             "--output-path", str(tmp_path / "x.h5"),
             "--mass1", "300", "--mass2", "300"])
+
+
+def test_sweep_random_mode(workdir, dataset, checkpoint):
+    out = os.path.join(workdir, "sweep_rand")
+    cli_sweep.main([
+        "--input-h5", dataset, "--indices", "0", "--model", checkpoint,
+        "--outdir", out, "--n-coarse", "3", "--topk", "2",
+        "--steps-coarse", "4", "--steps-refine", "6", "--seeds-refine", "2",
+        "--whiten", "1", "--whiten-mode", "model", "--seed", "5"])
+    with open(os.path.join(out, "coarse_top.json")) as fh:
+        top = json.load(fh)
+    assert len(top) == 2
+    with open(os.path.join(out, "final_results.json")) as fh:
+        finals = json.load(fh)
+    assert len(finals) == 2
+    assert all(len(r["J_seeds"]) == 2 for r in finals)
+    assert finals[0]["J"] >= finals[1]["J"]        # sorted best-first
+    assert os.path.exists(os.path.join(out, "best_cmd.txt"))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.utils.checkpoint import (
+        load_checkpoint,
+        restore_params,
+        save_checkpoint,
+        select_weights,
+    )
+
+    params = {"params": {"layer": {"kernel": np.ones((3, 4), np.float32),
+                                   "bias": np.zeros((4,), np.float32)}}}
+    ema = {"params": {"layer": {"kernel": 2 * np.ones((3, 4), np.float32),
+                                "bias": np.ones((4,), np.float32)}}}
+    args = {"T": 1000, "base_ch": 64, "meta_scale": {"M": 45.0, "q": 1.8}}
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, params, args, epoch=7, model_ema_state=ema)
+
+    ck = load_checkpoint(path)
+    assert ck["epoch"] == 7
+    assert ck["args"]["meta_scale"]["M"] == 45.0
+    w, used_ema = select_weights(ck, use_ema=True)
+    assert used_ema
+    restored = restore_params(params, w)
+    np.testing.assert_allclose(
+        restored["params"]["layer"]["kernel"], 2.0)
+    w2, used = select_weights(ck, use_ema=False)
+    restored2 = restore_params(params, w2)
+    np.testing.assert_allclose(restored2["params"]["layer"]["kernel"], 1.0)
+    # human-readable sidecar exists
+    assert os.path.exists(path + ".args.json")
