@@ -560,6 +560,18 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
                                    and epoch % cfg.debug_first_every == 0)):
                 _first_batch_debug(jb, m, out_dir, epoch)
 
+        # failure detection (SURVEY.md §5.3: the reference only skips bad
+        # batches silently): a majority-skipped epoch means training has
+        # diverged or the data is broken — stop instead of burning compute.
+        n_seen = len(batch_losses) + skipped
+        if cfg.skip_bad_batches and n_seen >= 4 and skipped > n_seen // 2:
+            _save(out_dir, state, cfg, in_ch, cond_in_ch, c_meta, meta_scale,
+                  epoch, name="model_diffusion_aborted.msgpack")
+            raise RuntimeError(
+                f"epoch {epoch}: {skipped}/{n_seen} batches skipped "
+                f"(non-finite or above loss threshold) — aborting; last "
+                f"state saved to model_diffusion_aborted.msgpack")
+
         avg = sum_loss_w / max(1, sum_w)
         mean_b = float(np.mean(batch_losses)) if batch_losses else float("nan")
         med_b = float(np.median(batch_losses)) if batch_losses else float("nan")
