@@ -45,7 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--p_uncond", type=float, default=0.2)
     p.add_argument("--p_selfcond", type=float, default=0.5)
-    p.add_argument("--t_min_frac", type=float, default=0.5)
+    p.add_argument("--t_min_frac", type=float, default=0.5,
+                   help="Train only on t >= frac*T (reference default 0.5 — "
+                        "NOTE: full-range DDIM sampling from noise requires "
+                        "0.0; see trainer warning).")
     p.add_argument("--force_cond_epochs", type=int, default=0)
     p.add_argument("--dropout_y_only", type=int, default=1)
     p.add_argument("--t_cover", choices=["rand", "strat"], default="rand")

@@ -494,6 +494,15 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
         state = TrainState(*[pmesh.replicate_tree(x, mesh) for x in state[:3]],
                            step=state.step)
 
+    if cfg.t_min_frac > 0:
+        # reference default is 0.5 (train.py:651) — kept for flag parity,
+        # but it means the model never trains on t < t_min_frac*T, so a
+        # full DDIM trajectory from pure noise will traverse UNTRAINED
+        # timesteps and produce garbage.  Verified empirically; see README.
+        print(f"[train] WARNING: t_min_frac={cfg.t_min_frac} — timesteps "
+              f"t < {int(cfg.t_min_frac * cfg.T)} will be untrained; "
+              f"full-range sampling from noise requires t_min_frac=0")
+
     history = []
     global_step = (start_epoch - 1) * n_batches
     profiling = False
@@ -510,6 +519,7 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
         batches = dpipe.prefetch_to_device(
             dpipe.iterate_batches(dataset, cfg.batch_size, rng),
             size=2, sharding=sharding)
+        pending = []   # deferred metric fetch: no per-step host sync
         for i, jb in enumerate(batches):
             if cfg.profile_dir and global_step == cfg.profile_steps[0]:
                 jax.profiler.start_trace(cfg.profile_dir)
@@ -518,22 +528,11 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
             state, m = step_fn(state, jb, k_step,
                                jnp.asarray(t_min_epoch),
                                jnp.asarray(p_u), jnp.asarray(p_sc))
-            loss = float(m["loss"])
-            ok = bool(m["ok"])
-            if not ok:
-                skipped += 1
-                print(f"[warn] batch {i} skipped (loss={loss:.3e})")
-            else:
-                bsz_eff = int(m["bsz_eff"])
-                batch_losses.append(loss)
-                sum_loss_w += loss * bsz_eff
-                sum_w += bsz_eff
-            logger.log({
-                "phase": "train_batch", "step": global_step, "epoch": epoch,
-                "batch": i, "t_min": int(m["t_min"]), "t_mean": float(m["t_mean"]),
-                "t_max": int(m["t_max"]), "loss": loss,
-                "grad_norm": float(m["grad_norm"]), "lr": float(m["lr"]),
-            })
+            # metrics stay on device; ONE device_get at epoch end. A
+            # per-batch float() would force a host round trip every step
+            # and stall the XLA pipeline (the reference pays this price
+            # via its per-batch .item() calls, train.py:464-478).
+            pending.append((global_step, i, m))
             global_step += 1
             if profiling and global_step >= cfg.profile_steps[1]:
                 jax.block_until_ready(state.params)
@@ -559,6 +558,26 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
                     epoch == 1 or (cfg.debug_first_every
                                    and epoch % cfg.debug_first_every == 0)):
                 _first_batch_debug(jb, m, out_dir, epoch)
+
+        # drain the deferred metrics (single host sync per epoch)
+        fetched = jax.device_get([p[2] for p in pending])
+        for (gs, i, _), m in zip(pending, fetched):
+            loss = float(m["loss"])
+            if not bool(m["ok"]):
+                skipped += 1
+                print(f"[warn] batch {i} skipped (loss={loss:.3e})")
+            else:
+                bsz_eff = int(m["bsz_eff"])
+                batch_losses.append(loss)
+                sum_loss_w += loss * bsz_eff
+                sum_w += bsz_eff
+            logger.log({
+                "phase": "train_batch", "step": gs, "epoch": epoch,
+                "batch": i, "t_min": int(m["t_min"]),
+                "t_mean": float(m["t_mean"]), "t_max": int(m["t_max"]),
+                "loss": loss, "grad_norm": float(m["grad_norm"]),
+                "lr": float(m["lr"]),
+            })
 
         # failure detection (SURVEY.md §5.3: the reference only skips bad
         # batches silently): a majority-skipped epoch means training has

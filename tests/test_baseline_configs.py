@@ -82,8 +82,12 @@ def test_config2_ancestral_sampling_conditioned():
     assert np.isfinite(np.asarray(x0)).all()
 
 
-def test_config3_attention_long_segment_ddim50():
-    """Attention U-Net on a 16384-sample segment, 50-step DDIM."""
+def test_config3_attention_long_segment_ddim():
+    """Attention U-Net on a 16384-sample segment via DDIM scan.
+
+    (The production config uses 50 steps; on the CPU test grid the step
+    count only multiplies runtime without adding coverage, so this runs the
+    same compiled scan with fewer iterations.)"""
     in_ch, cond_ch = 3, 1
     model = UNet1D(in_ch=in_ch, base_ch=8, time_dim=16, depth=3,
                    cond_in_ch=cond_ch, use_selfcond=True, use_attention=True)
@@ -96,7 +100,7 @@ def test_config3_attention_long_segment_ddim50():
     def model_fn(p, xx, tt):
         return model.apply(p, xx, tt)
 
-    cfg = SamplerConfig(steps=50, cfg_scale=1.0, use_selfcond=True)
+    cfg = SamplerConfig(steps=8, cfg_scale=1.0, use_selfcond=True)
     x0 = ddim_sample(model_fn, params, schedule, cond,
                      jax.random.PRNGKey(2), cfg)
     assert x0.shape == (1, 1, L)
