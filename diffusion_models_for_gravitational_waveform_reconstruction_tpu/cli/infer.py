@@ -64,13 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "every step)")
     s.add_argument("--oracle-init", action="store_true")
 
-    d = p.add_argument_group("Domain")
-    d.add_argument("--whiten", type=int, default=0)
+    d = p.add_argument_group("Domain (default: inherited from the checkpoint "
+                             "args so inference matches training)")
+    d.add_argument("--whiten", type=int, default=None)
     d.add_argument("--whiten-mode",
-                   choices=["auto", "model", "welch", "train"], default="auto")
+                   choices=["auto", "model", "welch", "train"], default=None)
     d.add_argument("--sigma-mode", choices=["std", "mad", "fixed"],
-                   default="std")
-    d.add_argument("--sigma-fixed", type=float, default=1.0)
+                   default=None)
+    d.add_argument("--sigma-fixed", type=float, default=None)
 
     o = p.add_argument_group("Output / scoring")
     o.add_argument("--plot", action="store_true")
@@ -111,6 +112,17 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     os.makedirs(args.outdir, exist_ok=True)
     model, params, schedule, ck = load_model(args.model, use_ema=args.use_ema)
+    # domain flags default to the training configuration recorded in the
+    # checkpoint (the reference requires re-passing them manually and
+    # silently mismatches otherwise, inference.py:656-700)
+    if args.whiten is None:
+        args.whiten = int(bool(ck.get("whiten", False)))
+    if args.whiten_mode is None:
+        args.whiten_mode = str(ck.get("whiten_mode", "auto"))
+    if args.sigma_mode is None:
+        args.sigma_mode = str(ck.get("sigma_mode", "std"))
+    if args.sigma_fixed is None:
+        args.sigma_fixed = float(ck.get("sigma_fixed", 1.0))
     meta_scale = ck.get("meta_scale", {}) or {}
     M_SCALE = float(meta_scale.get("M", 80.0))
     Q_SCALE = float(meta_scale.get("q", 10.0))
