@@ -186,3 +186,49 @@ def test_ddim_sampler_parity_mock_model():
 
         err = _rel_err(x_ours, x_ref)
         assert err < 1e-4, (cfg_mode, cfg_scale, dc, err)
+
+
+def test_load_model_from_torch_pth(tmp_path):
+    """A reference-format .pth checkpoint (train.py:607-629 payload) loads
+    directly through our inference.load_model with forward parity."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.inference import (
+        load_model,
+    )
+
+    torch.manual_seed(1)
+    depth = 2
+    # the reference builds with t_embed_max_time = T-1 at train AND
+    # inference (train.py:250, inference.py:635)
+    tnet = TorchUNet(in_ch=3, base_ch=16, time_dim=32, depth=depth,
+                     cond_in_ch=1, use_selfcond=True,
+                     t_embed_max_time=99).eval()
+    sd = {k: v.detach().numpy().copy() for k, v in tnet.state_dict().items()}
+    rng = np.random.default_rng(5)
+    sd["final.weight"] = rng.normal(
+        size=sd["final.weight"].shape).astype(np.float32) * 0.1
+    sd["final.bias"] = rng.normal(
+        size=sd["final.bias"].shape).astype(np.float32) * 0.1
+    tnet.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+
+    payload = {
+        "model_state": tnet.state_dict(),
+        "model_ema_state": tnet.state_dict(),
+        "epoch": 50,
+        "args": {"in_ch": 3, "cond_in_ch": 1, "base_ch": 16, "time_dim": 32,
+                 "depth": depth, "T": 100, "whiten": True,
+                 "whiten_mode": "model", "sigma_mode": "std",
+                 "meta_scale": {"M": 60.0, "q": 5.0}},
+    }
+    path = str(tmp_path / "ref_ckpt.pth")
+    torch.save(payload, path)
+
+    model, params, schedule, ck = load_model(path)
+    assert schedule.T == 100
+    assert ck["meta_scale"]["M"] == 60.0
+
+    x = rng.normal(size=(1, 3, 512)).astype(np.float32)
+    t = np.array([42])
+    with torch.no_grad():
+        y_ref = tnet(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    y_ours = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(t)))
+    assert _rel_err(y_ours, y_ref) < 1e-4
