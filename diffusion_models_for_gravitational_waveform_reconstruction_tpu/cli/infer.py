@@ -200,8 +200,6 @@ def main(argv: Optional[List[str]] = None) -> None:
             # matched-filter SNR recovery (BASELINE quality metric): the
             # recon filtered against the clean template under the model PSD,
             # vs the injected SNR (clean against itself)
-            from numpy.fft import rfftfreq
-
             from ..data.pipeline import interp_psd_np
 
             P = interp_psd_np(P_model, len(P_model), prep["L"], fs)

@@ -21,9 +21,8 @@ This module is host-side (h5py); arrays cross to the device in
 """
 from __future__ import annotations
 
-import json
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import h5py
 import numpy as np

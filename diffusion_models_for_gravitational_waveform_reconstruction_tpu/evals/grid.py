@@ -23,14 +23,14 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import numpy as np
 
-from ..inference import dewhiten_back, load_model, reconstruct_batch
+from ..inference import dewhiten_back, reconstruct_batch
 from . import metrics as M
-from .sweep import Combo, _sampler_config, prep_samples
+from .sweep import Combo, _sampler_config
 
 
 # ---------------------------------------------------------------------------

@@ -30,13 +30,13 @@ import dataclasses
 import itertools
 import json
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import numpy as np
 
 from ..data import hdf5io
-from ..inference import load_model, prepare_measurement, reconstruct_batch
+from ..inference import prepare_measurement, reconstruct_batch
 from ..ops.sampling import SamplerConfig
 from ..ops.schedules import t_for_target_snr
 from . import metrics as M

@@ -19,7 +19,6 @@ serial Python loops.
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Dict, Optional, Tuple

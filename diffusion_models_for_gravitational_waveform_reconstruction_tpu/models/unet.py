@@ -31,7 +31,7 @@ TPU-first design choices (deliberately NOT the torch layout):
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ channel convention; internally these are elementwise ops XLA fuses freely.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

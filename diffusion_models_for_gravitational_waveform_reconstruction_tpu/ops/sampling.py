@@ -28,8 +28,7 @@ separate DDPM loop).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ they work per-sample and per-batch alike.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

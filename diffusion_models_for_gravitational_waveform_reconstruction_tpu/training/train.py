@@ -37,7 +37,6 @@ import json
 import os
 import shutil
 import time
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
