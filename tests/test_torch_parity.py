@@ -232,3 +232,21 @@ def test_load_model_from_torch_pth(tmp_path):
         y_ref = tnet(torch.from_numpy(x), torch.from_numpy(t)).numpy()
     y_ours = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(t)))
     assert _rel_err(y_ours, y_ref) < 1e-4
+
+
+@pytest.mark.parametrize("L_in,L_out", [(512, 300), (300, 512), (512, 256),
+                                        (4096, 1024)])
+def test_resize_linear_matches_torch_interpolate(L_in, L_out):
+    """_resize_linear (both fast and gather paths) vs torch F.interpolate."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models.unet import (
+        _resize_linear,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, L_in)).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=L_out, mode="linear",
+        align_corners=False).numpy()
+    ours = np.asarray(_resize_linear(
+        jnp.asarray(x.transpose(0, 2, 1)), L_out)).transpose(0, 2, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
