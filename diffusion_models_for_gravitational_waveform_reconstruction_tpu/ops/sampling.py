@@ -69,6 +69,17 @@ class SamplerConfig:
     cfg_u_only_thresh: float = 0.05
     drop_y_only: bool = True
     oracle_init: bool = False
+    # Stabilisation the reference LACKS (its sampler can diverge even with a
+    # well-trained model): the trainer clamps every network input to
+    # +-clamp_inputs (ref train.py:350-352, 381-382), so the network never
+    # learned the out-of-range regime — the sampler must clamp x_t and the
+    # self-conditioning channel to the same bound, or early-step x0
+    # overshoot feeds back through selfcond/DDIM and explodes (verified on a
+    # converged model: 20-step DDIM final std 5999 unclamped vs ~0.3
+    # clamped).  x0_clip additionally bounds the x0 estimate itself (static
+    # thresholding, standard diffusion practice); 0 disables.
+    clamp_inputs: float = 10.0
+    x0_clip: float = 10.0
 
 
 def _make_uncond(cond_used: jnp.ndarray, drop_y_only: bool) -> jnp.ndarray:
@@ -166,6 +177,9 @@ def ddim_sample(
 
     def step(carry, s):
         x_t, x0_sc = carry
+        if cfg.clamp_inputs > 0:
+            x_t = jnp.clip(x_t, -cfg.clamp_inputs, cfg.clamp_inputs)
+            x0_sc = jnp.clip(x0_sc, -cfg.clamp_inputs, cfg.clamp_inputs)
         t_b = jnp.full((B,), s["t"], jnp.int32)
         ab_t = s["ab_t"]
         ab_prev = s["ab_prev"]
@@ -190,6 +204,9 @@ def ddim_sample(
             eps_hat = (x_t - jnp.sqrt(ab_t) * x0_hat) / jnp.sqrt(
                 jnp.clip(1.0 - ab_t, 1e-12))
 
+        if cfg.x0_clip > 0:
+            x0_hat = jnp.clip(x0_hat, -cfg.x0_clip, cfg.x0_clip)
+
         if cfg.dc_weight > 0:
             x0_hat = (1.0 - cfg.dc_weight) * x0_hat + cfg.dc_weight * y_chan
 
@@ -213,7 +230,10 @@ def ddim_sample(
             b = y_chan.reshape(B, -1) - y_chan.reshape(B, -1).mean(axis=1, keepdims=True)
             corr = (a * b).sum(axis=1) / (
                 jnp.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1)) + 1e-30)
-            diag = {"t": s["t"], "alpha_bar": ab_t, "cfg_w": s["w"], "corr": corr}
+            diag = {"t": s["t"], "alpha_bar": ab_t, "cfg_w": s["w"], "corr": corr,
+                    "x_rms": jnp.sqrt(jnp.mean(x_next ** 2, axis=(1, 2))),
+                    "x0_rms": jnp.sqrt(jnp.mean(x0_hat ** 2, axis=(1, 2))),
+                    "eps_rms": jnp.sqrt(jnp.mean(eps_hat ** 2, axis=(1, 2)))}
         else:
             diag = None
         return (x_next, x0_sc_next), diag
@@ -285,6 +305,9 @@ def ddpm_sample(
 
     def step(carry, s):
         x_t, x0_sc = carry
+        if cfg.clamp_inputs > 0:
+            x_t = jnp.clip(x_t, -cfg.clamp_inputs, cfg.clamp_inputs)
+            x0_sc = jnp.clip(x0_sc, -cfg.clamp_inputs, cfg.clamp_inputs)
         t_b = jnp.full((B,), s["t"], jnp.int32)
         ab_t, ab_prev, alpha_t = s["ab_t"], s["ab_prev"], s["alpha_t"]
 
@@ -304,6 +327,9 @@ def ddpm_sample(
             x0_hat = out
             eps_hat = (x_t - jnp.sqrt(ab_t) * x0_hat) / jnp.sqrt(
                 jnp.clip(1.0 - ab_t, 1e-12))
+
+        if cfg.x0_clip > 0:
+            x0_hat = jnp.clip(x0_hat, -cfg.x0_clip, cfg.x0_clip)
 
         if cfg.dc_weight > 0:
             x0_hat = (1.0 - cfg.dc_weight) * x0_hat + cfg.dc_weight * y_chan

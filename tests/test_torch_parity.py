@@ -174,10 +174,13 @@ def test_ddim_sampler_parity_mock_model():
         jax.random.normal = lambda key, shape, dtype=jnp.float32: jnp.zeros(
             shape, dtype)
         try:
+            # clamp_inputs / x0_clip are OUR stabilisation (the reference
+            # has none) — disable for raw-algebra parity
             cfg = SamplerConfig(steps=steps, eta=0.0, init_mode="y-blend",
                                 dc_weight=dc, cfg_scale=cfg_scale,
                                 cfg_mode=cfg_mode, cfg_center=0.7,
-                                cfg_width=0.12, use_selfcond=True)
+                                cfg_width=0.12, use_selfcond=True,
+                                clamp_inputs=0.0, x0_clip=0.0)
             x_ours = np.asarray(ddim_sample(mock_jax, {}, sched,
                                             jnp.asarray(cond),
                                             jax.random.PRNGKey(0), cfg))
