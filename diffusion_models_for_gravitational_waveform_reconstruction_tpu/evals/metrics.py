@@ -23,11 +23,19 @@ import numpy as np
 
 
 def corr(a: np.ndarray, b: np.ndarray) -> float:
+    """Pearson correlation, scale-invariant.
+
+    NOTE: an additive epsilon in the denominator (the reference's +1e-12 at
+    ``inference.py:16-19``) silently zeroes correlations of physical-strain
+    series (~1e-22 scale, squared sums ~1e-41); degenerate inputs are
+    handled by an explicit zero-denominator guard instead."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     a = a - a.mean()
     b = b - b.mean()
-    den = np.sqrt((a * a).sum() * (b * b).sum()) + 1e-30
+    den = np.sqrt((a * a).sum() * (b * b).sum())
+    if den == 0.0 or not np.isfinite(den):
+        return 0.0
     return float((a * b).sum() / den)
 
 
@@ -142,10 +150,12 @@ def merger_window_scores(recon_al: np.ndarray, clean_al: np.ndarray,
         return {"mae": float("nan"), "nmae_clean": float("nan"),
                 "nmae_sigma": float("nan")}
     mae = float(np.mean(np.abs(recon_al[m] - clean_al[m])))
+    denom_c = float(np.mean(np.abs(clean_al[m])))
+    # relative guards: absolute epsilons swamp physical-strain scales
     return {
         "mae": mae,
-        "nmae_clean": mae / (float(np.mean(np.abs(clean_al[m]))) + 1e-12),
-        "nmae_sigma": mae / (float(sigma) + 1e-12),
+        "nmae_clean": mae / denom_c if denom_c > 0 else float("nan"),
+        "nmae_sigma": mae / float(sigma) if sigma > 0 else float("nan"),
     }
 
 
@@ -167,6 +177,11 @@ def matched_filter_snr(recon: np.ndarray, template: np.ndarray, psd: np.ndarray,
     noise-weighted inner product 4 Re int h1 h2* / S df evaluated at all lags
     via FFT.
     """
+    # float64 throughout: f32 inputs would underflow |h~|^2 (~1e-53 for
+    # physical strain) through a complex64 FFT
+    template = np.asarray(template, np.float64)
+    recon = np.asarray(recon, np.float64)
+    psd = np.asarray(psd, np.float64)
     N = len(template)
     dt = 1.0 / fs
     df = fs / N

@@ -105,3 +105,26 @@ def test_merger_window_scores_zero_for_identical():
     x = np.sin(t * 300)
     m = merger_window_scores(x, x, t, sigma=1.0)
     assert m["mae"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_metrics_float32_physical_strain_safe():
+    """Physical-strain float32 inputs must not zero out corr / mf-SNR
+    (regression: absolute epsilons and complex64 FFTs underflow at 1e-22)."""
+    rng = np.random.default_rng(0)
+    n, fs = 4096, 4096.0
+    c = (np.sin(2 * np.pi * 100 * np.arange(n) / fs)
+         * np.hanning(n) * 1e-22).astype(np.float32)
+    r = (c + 0.2e-22 * rng.normal(size=n)).astype(np.float32)
+    assert corr(r, c) > 0.9
+    m = score_last_window(r, c, fs, 0.5)
+    assert m["corr_last"] > 0.9
+
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+    P = np.where(freqs >= 20.0, 1e-46 * (1 + (freqs / 200.0) ** 2), 0.0)
+    rho_self = matched_filter_snr(c, c, P, fs)
+    # self-match equals the template's matched-filter amplitude
+    dt = 1.0 / fs
+    hf = np.fft.rfft(c.astype(np.float64)) * dt
+    valid = (freqs >= 20) & (P > 0)
+    sig = np.sqrt(4 * (fs / n) * np.sum(np.abs(hf[valid]) ** 2 / P[valid]))
+    assert rho_self == pytest.approx(sig, rel=2e-2)
