@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(parity; both are always computed)")
     w.add_argument("--per-cell", type=int, default=4)
     w.add_argument("--min-per-cell", type=int, default=1)
+    w.add_argument("--max-cells", type=int, default=400,
+                   help="Random-subsample cells beyond this count (random-"
+                        "mass datasets degenerate into one cell per sample; "
+                        "the reference would evaluate them all).")
 
     v = p.add_argument_group("Plot cosmetics")
     v.add_argument("--xlabel", type=str, default="m1 [Msun]")
@@ -122,6 +126,11 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     cells = select_per_cell(m1, m2, args.per_cell, args.min_per_cell, rng,
                             args.unordered)
+    if args.max_cells and len(cells) > args.max_cells:
+        keep = rng.choice(len(cells), size=args.max_cells, replace=False)
+        keys = list(cells.keys())
+        cells = {keys[i]: cells[keys[i]] for i in sorted(keep)}
+        print(f"[grid] subsampled to {len(cells)} cells (--max-cells)")
     indices = np.concatenate([v for v in cells.values()]) if cells else []
     print(f"[grid] {len(cells)} cells, {len(indices)} samples selected")
     if len(indices) == 0:
