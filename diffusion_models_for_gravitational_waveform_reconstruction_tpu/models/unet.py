@@ -80,6 +80,22 @@ class _GNParams(nn.Module):
         return s, b
 
 
+class _ConvParams(nn.Module):
+    """Bare Conv1d kernel/bias params with nn.Conv's exact pytree layout
+    (``<name>/kernel`` (k, Cin, Cout), ``<name>/bias``) and init."""
+
+    cin: int
+    cout: int
+    k: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.k, self.cin, self.cout))
+        b = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return w, b
+
+
 class ConvBlock(nn.Module):
     """Conv1d(k, same) -> GroupNorm(gcd(8, C)) -> SiLU on (B, L, C).
 
@@ -98,17 +114,21 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        groups = _num_groups(self.out_ch)
+        if self.use_pallas and self.kernel == 3:
+            from ..ops.pallas.fused import (
+                conv_fused_vmem_ok,
+                fused_conv_gn_silu,
+            )
+
+            B, L, Cin = x.shape
+            if conv_fused_vmem_ok(L, Cin, self.out_ch):
+                w, cb = _ConvParams(Cin, self.out_ch, self.kernel,
+                                    name="conv")()
+                s, b = _GNParams(self.out_ch, name="norm")()
+                return fused_conv_gn_silu(x, w, cb, s, b, groups)
         h = nn.Conv(self.out_ch, (self.kernel,), padding="SAME", dtype=self.dtype,
                     name="conv")(x)
-        groups = _num_groups(self.out_ch)
-        if self.use_pallas:
-            from ..ops.pallas.fused import fused_groupnorm_silu_film, vmem_ok
-
-            B, L, C = h.shape
-            if vmem_ok(L, C):
-                s, b = _GNParams(C, name="norm")()
-                zeros = jnp.zeros((B, C), h.dtype)
-                return fused_groupnorm_silu_film(h, s, b, zeros, zeros, groups)
         h = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
                          dtype=self.dtype, name="norm")(h)
         return nn.silu(h)

@@ -90,3 +90,23 @@ def test_unet_pallas_path_matches_plain():
         y_fused = fused.apply(params, x, t)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
                                rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("B,L,Cin,Cout,g", [(2, 256, 24, 32, 8),
+                                            (1, 128, 7, 16, 8)])
+def test_fused_conv_gn_silu_matches_reference(B, L, Cin, Cout, g):
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.pallas.fused import (
+        fused_conv_gn_silu,
+        fused_conv_gn_silu_reference,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(ks[0], (B, L, Cin), jnp.float32)
+    W = jax.random.normal(ks[1], (3, Cin, Cout)) * 0.1
+    b = jax.random.normal(ks[2], (Cout,)) * 0.1
+    s = jnp.ones(Cout) * 1.1
+    bb = jnp.ones(Cout) * 0.05
+    ref = fused_conv_gn_silu_reference(x, W, b, s, bb, g)
+    out = fused_conv_gn_silu(x, W, b, s, bb, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)

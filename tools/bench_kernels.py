@@ -49,6 +49,34 @@ def bench_gn():
                           "speedup": round(t_ref / t_pal, 2)}))
 
 
+def bench_conv():
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.pallas.fused import (
+        fused_conv_gn_silu,
+        fused_conv_gn_silu_reference,
+    )
+
+    for (B, L, Cin, Cout) in [(64, 4096, 64, 64), (64, 2048, 64, 128),
+                              (64, 1024, 128, 256), (64, 1024, 512, 256)]:
+        g = 8
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        x = jax.random.normal(ks[0], (B, L, Cin), jnp.float32)
+        W = jax.random.normal(ks[1], (3, Cin, Cout)) * 0.1
+        b = jnp.zeros((Cout,))
+        s = jnp.ones((Cout,)); bb = jnp.zeros((Cout,))
+        ref = jax.jit(lambda x, W, b, s, bb:
+                      fused_conv_gn_silu_reference(x, W, b, s, bb, g))
+        pal = jax.jit(lambda x, W, b, s, bb:
+                      fused_conv_gn_silu(x, W, b, s, bb, g))
+        t_ref = timeit(ref, x, W, b, s, bb)
+        t_pal = timeit(pal, x, W, b, s, bb)
+        err = float(jnp.max(jnp.abs(pal(x, W, b, s, bb) - ref(x, W, b, s, bb))))
+        print(json.dumps({"kernel": "conv_gn_silu", "shape": [B, L, Cin, Cout],
+                          "xla_ms": round(t_ref * 1e3, 3),
+                          "pallas_ms": round(t_pal * 1e3, 3),
+                          "speedup": round(t_ref / t_pal, 2),
+                          "max_abs_err": err}))
+
+
 def bench_attention():
     from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.pallas.attention import (
         flash_attention,
@@ -97,5 +125,6 @@ def bench_unet():
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     bench_gn()
+    bench_conv()
     bench_attention()
     bench_unet()
