@@ -155,7 +155,8 @@ def build_specs(args, rng: np.random.Generator) -> List[dict]:
                              f"(ISCO vs f_lower or > --max-seconds)")
         for _ in range(args.num_samples):
             specs.append(dict(m1=m1, m2=m2, s1=0.0, s2=0.0, snr=args.snr,
-                              label_m1=m1, label_m2=m2))
+                              label_m1=m1, label_m2=m2,
+                              label_s1=0.0, label_s2=0.0))
         return specs
 
     if args.mode == "random":
@@ -169,12 +170,12 @@ def build_specs(args, rng: np.random.Generator) -> List[dict]:
             m1, m2 = max(a, b), min(a, b)          # sorted m1 >= m2 (gen.py:201)
             if not probe_config(m1, m2, args.f_lower, args.max_seconds):
                 continue
+            s1 = rng.uniform(args.spin1_min, args.spin1_max)
+            s2 = rng.uniform(args.spin2_min, args.spin2_max)
             specs.append(dict(
-                m1=m1, m2=m2,
-                s1=rng.uniform(args.spin1_min, args.spin1_max),
-                s2=rng.uniform(args.spin2_min, args.spin2_max),
+                m1=m1, m2=m2, s1=s1, s2=s2,
                 snr=rng.uniform(args.snr_min, args.snr_max),
-                label_m1=m1, label_m2=m2,
+                label_m1=m1, label_m2=m2, label_s1=s1, label_s2=s2,
             ))
         if len(specs) < args.num_samples:
             raise SystemExit(
@@ -199,21 +200,26 @@ def build_specs(args, rng: np.random.Generator) -> List[dict]:
     if not ok_combos:
         raise SystemExit("grid mode: no valid (m1, m2) combos")
 
+    # balanced counts with the remainder spread over the first combos
+    # (ref gen.py:702-717)
     total = int(np.ceil(args.num_samples * args.overgen_factor))
-    per_combo = max(1, total // len(ok_combos))
-    for (a, b) in ok_combos:
-        for _ in range(per_combo):
+    base, rem = divmod(total, len(ok_combos))
+    for ci, (a, b) in enumerate(ok_combos):
+        count = base + (1 if ci < rem else 0)
+        # symmetric label augmentation: a DETERMINISTIC half of each combo's
+        # samples carries swapped (m1, m2) AND (s1, s2) labels; generation
+        # always uses the sorted masses (ref gen.py:721-747 + gen.py:201-202)
+        n_swap = count // 2 if (args.augment_symmetric and a != b) else 0
+        for j in range(count):
+            s1 = rng.uniform(args.spin1_min, args.spin1_max)
+            s2 = rng.uniform(args.spin2_min, args.spin2_max)
             spec = dict(
-                m1=a, m2=b,
-                s1=rng.uniform(args.spin1_min, args.spin1_max),
-                s2=rng.uniform(args.spin2_min, args.spin2_max),
+                m1=a, m2=b, s1=s1, s2=s2,
                 snr=rng.uniform(args.snr_min, args.snr_max),
-                label_m1=a, label_m2=b,
+                label_m1=a, label_m2=b, label_s1=s1, label_s2=s2,
             )
-            # symmetric label augmentation: half the samples carry swapped
-            # labels while generation stays sorted (ref gen.py:719-747)
-            if args.augment_symmetric and a != b and rng.random() < 0.5:
-                spec["label_m1"], spec["label_m2"] = b, a
+            if j >= count - n_swap:
+                spec.update(label_m1=b, label_m2=a, label_s1=s2, label_s2=s1)
             specs.append(spec)
     if args.shuffle:
         rng.shuffle(specs)
@@ -320,9 +326,8 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     # over-generate happens in grid mode; trim back (ref gen.py:783-797)
     if len(specs) > args.num_samples and args.mode == "grid":
-        keep = rng.choice(len(specs), size=args.num_samples, replace=False)
-        keep.sort()
-        specs = [specs[i] for i in keep]
+        # head-trim after the (optional) shuffle, ref gen.py:783-797
+        specs = specs[: args.num_samples]
 
     gen = generate_pycbc if args.engine == "pycbc" else generate_jax
     samples = gen(specs, args)
@@ -367,8 +372,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         meta["snr"].append(s["snr"])
         meta["label_m1"].append(s["label_m1"])
         meta["label_m2"].append(s["label_m2"])
-        meta["label_s1"].append(s["s1"])
-        meta["label_s2"].append(s["s2"])
+        meta["label_s1"].append(s.get("label_s1", s["s1"]))
+        meta["label_s2"].append(s.get("label_s2", s["s2"]))
         meta["q"].append(s["m1"] / max(s["m2"], 1e-9))
         meta["chirp_mass"].append(eta ** 0.6 * M)
         meta["epoch"].append(0.0)

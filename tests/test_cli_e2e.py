@@ -195,3 +195,32 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(restored2["params"]["layer"]["kernel"], 1.0)
     # human-readable sidecar exists
     assert os.path.exists(path + ".args.json")
+
+
+def test_gen_symmetric_augmentation(tmp_path):
+    """Half of each unequal-mass cell carries swapped labels (masses AND
+    spins); generation masses stay sorted m1 >= m2 (ref gen.py:719-747)."""
+    import h5py
+
+    path = str(tmp_path / "aug.h5")
+    cli_gen.main([
+        "--mode", "grid", "--num-samples", "16", "--output-path", path,
+        "--mass1-min", "30", "--mass1-max", "40", "--mass2-min", "30",
+        "--mass2-max", "40", "--grid-steps", "2", "--snr-min", "15",
+        "--snr-max", "15", "--spin1-min", "0.1", "--spin1-max", "0.1",
+        "--spin2-min", "-0.2", "--spin2-max", "-0.2",
+        "--augment-symmetric", "--overgen-factor", "1.0", "--seed", "9"])
+    with h5py.File(path, "r") as f:
+        m1 = np.asarray(f["mass1"][:])
+        m2 = np.asarray(f["mass2"][:])
+        l1 = np.asarray(f["label_m1"][:])
+        l2 = np.asarray(f["label_m2"][:])
+        ls1 = np.asarray(f["label_s1"][:])
+        assert (m1 >= m2).all()                       # generation sorted
+        swapped = l1 < l2
+        unequal = ~np.isclose(l1, l2)
+        # the (30,40) cell contributes both orientations
+        assert swapped.any() and (unequal & ~swapped).any()
+        # swapped samples also swap spin labels
+        assert np.allclose(ls1[swapped], -0.2)
+        assert np.allclose(ls1[unequal & ~swapped], 0.1)
