@@ -348,6 +348,77 @@ def iterate_batches(
         yield {k: v[sel] for k, v in b.items()}
 
 
+def synthetic_dataset(
+    n: int,
+    *,
+    seed: int = 0,
+    segment_len: int = 8192,
+    fs: int = 4096,
+    mass_min: float = 20.0,
+    mass_max: float = 50.0,
+    snr_min: float = 8.0,
+    snr_max: float = 30.0,
+    whiten: bool = True,
+    sigma_mode: str = "std",
+    chunk: int = 256,
+) -> PreparedDataset:
+    """Fully self-contained dataset: on-device synthesis -> model-PSD
+    whitening -> PreparedDataset, no HDF5/PyCBC round trip.
+
+    This is the ``gw-train --data synth:N`` path — the TPU-native answer to
+    'give me training data now'.  Whitening uses the known generation PSD
+    (scaled units end to end; see ``data/synth.py``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import synth
+    from ..ops.whiten import whiten_weight
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    cfg = synth.SynthConfig(n=segment_len, fs=fs)
+
+    a = rng.uniform(mass_min, mass_max, size=n)
+    b = rng.uniform(mass_min, mass_max, size=n)
+    m1 = np.maximum(a, b)
+    m2 = np.minimum(a, b)
+    snr = rng.uniform(snr_min, snr_max, size=n)
+
+    clean_l, noisy_l = [], []
+    w = None
+    for c0 in range(0, n, chunk):
+        key, k = jax.random.split(key)
+        sl = slice(c0, min(n, c0 + chunk))
+        out = synth.generate_batch(k, jnp.asarray(m1[sl]), jnp.asarray(m2[sl]),
+                                   jnp.asarray(snr[sl]), config=cfg)
+        if whiten:
+            # whiten with the scaled generation PSD on device (the joint
+            # strain/PSD scaling cancels inside the whitening ratio up to
+            # the global 1e-21 factor, which sigma-normalisation removes)
+            if w is None:
+                w = whiten_weight(out["psd"][0])
+            C = jnp.fft.rfft(out["signal"], axis=-1) * w
+            Y = jnp.fft.rfft(out["noisy"], axis=-1) * w
+            clean_l.append(np.asarray(jnp.fft.irfft(C, n=segment_len)))
+            noisy_l.append(np.asarray(jnp.fft.irfft(Y, n=segment_len)))
+        else:
+            clean_l.append(np.asarray(out["signal"]))
+            noisy_l.append(np.asarray(out["noisy"]))
+
+    clean = np.concatenate(clean_l).astype(np.float32)
+    noisy = np.concatenate(noisy_l).astype(np.float32)
+    M = max(float(np.percentile(np.concatenate([m1, m2]), 95)), 1e-9)
+    meta = np.stack([m1 / M, m2 / M, np.zeros(n), np.zeros(n)],
+                    axis=1).astype(np.float32)
+    ds = dataset_from_arrays(clean, noisy, fs=float(fs), meta=meta,
+                             sigma_mode=sigma_mode,
+                             meta_scale={"M": M, "q": 10.0})
+    ds.whiten = whiten
+    ds.whiten_mode = "model" if whiten else "raw"
+    return ds
+
+
 def prefetch_to_device(batch_iter, size: int = 2, sharding=None):
     """Double-buffered host->device transfer: keep ``size`` batches in
     flight so the H2D copy of batch i+1 overlaps the compute of batch i

@@ -444,12 +444,20 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
     logger = JsonlLogger(cfg.log_jsonl)
 
     if dataset is None:
-        meta_scale = compute_meta_scale(cfg.data)
-        dataset = dpipe.prepare_dataset(
-            cfg.data, whiten=cfg.whiten, whiten_mode=cfg.whiten_mode,
-            sigma_mode=cfg.sigma_mode, sigma_fixed=cfg.sigma_fixed,
-            include_metadata=True, mass_scale=meta_scale.get("M", 80.0),
-        )
+        if cfg.data.startswith("synth:"):
+            # self-contained on-device synthesis: --data synth:<N>
+            n_synth = int(cfg.data.split(":", 1)[1])
+            print(f"[train] synthesising {n_synth} samples on device")
+            dataset = dpipe.synthetic_dataset(
+                n_synth, seed=cfg.seed, whiten=cfg.whiten,
+                sigma_mode=cfg.sigma_mode)
+        else:
+            meta_scale = compute_meta_scale(cfg.data)
+            dataset = dpipe.prepare_dataset(
+                cfg.data, whiten=cfg.whiten, whiten_mode=cfg.whiten_mode,
+                sigma_mode=cfg.sigma_mode, sigma_fixed=cfg.sigma_fixed,
+                include_metadata=True, mass_scale=meta_scale.get("M", 80.0),
+            )
     meta_scale = dataset.meta_scale
 
     first_bucket = dataset.buckets[dataset.bucket_lengths[0]]

@@ -147,3 +147,18 @@ def test_resume_roundtrip(tmp_path):
     # resumed params differ from the ep1 checkpoint after the extra epoch
     p_new = jax.tree_util.tree_leaves(out2["state"].params)
     assert all(np.isfinite(np.asarray(x)).all() for x in p_new)
+
+
+def test_train_from_synth_spec(tmp_path):
+    """--data synth:N trains end-to-end with no HDF5/PyCBC round trip."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.training.train import (
+        TrainConfig, train,
+    )
+
+    cfg = TrainConfig(data="synth:16", model_dir=str(tmp_path / "m"),
+                      epochs=1, batch_size=8, base_ch=8, time_dim=16,
+                      depth=1, T=20, warmup_steps=2, bf16=False,
+                      data_parallel=False, whiten=True)
+    out = train(cfg)
+    import numpy as np
+    assert np.isfinite(out["history"][0]["avg_per_sample"])
