@@ -1,0 +1,61 @@
+"""Small utilities: gated PyCBC engine, h5 path resolution, JSONL logger."""
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+
+def test_pycbc_engine_gated(tmp_path):
+    """--engine pycbc raises a helpful SystemExit when pycbc is missing."""
+    try:
+        import pycbc  # noqa: F401
+        pytest.skip("pycbc installed; gate not exercised")
+    except ImportError:
+        pass
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.gen import (
+        main,
+    )
+
+    with pytest.raises(SystemExit, match="pycbc"):
+        main(["--mode", "fixed", "--num-samples", "1", "--output-path",
+              str(tmp_path / "x.h5"), "--mass1", "30", "--mass2", "25",
+              "--engine", "pycbc"])
+
+
+def test_resolve_h5_path_directory(tmp_path):
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.hdf5io import (
+        resolve_h5_path,
+    )
+
+    old = tmp_path / "old.h5"
+    new = tmp_path / "new.hdf5"
+    old.write_bytes(b"")
+    time.sleep(0.05)
+    new.write_bytes(b"")
+    # most recently modified wins (ref dataloader.py:14-24)
+    assert resolve_h5_path(str(tmp_path)) == str(new)
+    with pytest.raises(FileNotFoundError):
+        resolve_h5_path(str(tmp_path / "missing"))
+    empty = tmp_path / "emptydir"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        resolve_h5_path(str(empty))
+
+
+def test_jsonl_logger(tmp_path):
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.utils.jsonl import (
+        JsonlLogger,
+    )
+
+    path = str(tmp_path / "log.jsonl")
+    lg = JsonlLogger(path)
+    lg.log({"phase": "a", "x": np.float32(1.5), "arr": np.arange(3)})
+    lg.log({"phase": "b", "y": 2})
+    rows = [json.loads(l) for l in open(path)]
+    assert rows[0]["phase"] == "a" and rows[0]["x"] == 1.5
+    assert rows[0]["arr"] == [0, 1, 2]
+    assert rows[1]["y"] == 2
+    # disabled logger is a no-op
+    JsonlLogger(None).log({"ignored": True})
