@@ -161,14 +161,20 @@ def eval_indices(
             mae = float(np.mean(np.abs(r_w - c_w)))
             denom = (float(np.mean(np.abs(c_w))) + 1e-12
                      if args.mae_norm == "clean" else p["sigma"] + 1e-12)
-            rows.append({
+            row = {
                 "index": p["index"],
                 "corr": M.corr(r_w, c_w),
                 "mae": mae,
                 "mae_norm": mae / denom,
                 "sigma": p["sigma"],
                 "L": p["L"],
-            })
+            }
+            if p.get("P_model_used") is not None:
+                P = np.asarray(p["P_model_used"], np.float64)
+                rho_r = M.matched_filter_snr(x0_raw, clean, P, p["fs"])
+                rho_i = M.matched_filter_snr(clean, clean, P, p["fs"])
+                row["mf_ratio"] = rho_r / rho_i if rho_i > 0 else float("nan")
+            rows.append(row)
     return rows
 
 
@@ -185,10 +191,13 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
     df["m2"] = [labels[i]["m2"] for i in df["index"]]
     df.to_csv(os.path.join(args.outdir, "per_index_metrics.csv"), index=False)
 
-    agg = df.groupby(["m1", "m2"]).agg(
+    agg_cols = dict(
         corr_mean=("corr", "mean"), corr_std=("corr", "std"),
         mae_mean=("mae_norm", "mean"), mae_std=("mae_norm", "std"),
-        n=("index", "count")).reset_index()
+        n=("index", "count"))
+    if "mf_ratio" in df.columns:
+        agg_cols["mf_ratio_mean"] = ("mf_ratio", "mean")
+    agg = df.groupby(["m1", "m2"]).agg(**agg_cols).reset_index()
     agg.to_csv(os.path.join(args.outdir, "metrics_grid.csv"), index=False)
     agg.to_json(os.path.join(args.outdir, "metrics_grid.json"),
                 orient="records", indent=2)
@@ -217,6 +226,8 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
         "mae_macro_mean": float(agg["mae_mean"].mean()),
         "mae_macro_median": float(agg["mae_mean"].median()),
         "mae_micro_mean": float(df["mae_norm"].mean()),
+        **({"mf_ratio_macro_mean": float(agg["mf_ratio_mean"].mean())}
+           if "mf_ratio_mean" in agg.columns else {}),
         "knobs": {k: getattr(args, k) for k in
                   ["steps", "eta", "start_snr", "init_mode", "cfg_scale",
                    "cfg_mode", "cfg_center", "cfg_width", "dc_weight",
