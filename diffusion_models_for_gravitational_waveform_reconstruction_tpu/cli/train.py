@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_first_every", type=int, default=0)
     p.add_argument("--no-data-parallel", action="store_true",
                    help="Disable batch sharding over the device mesh.")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the forward (activation memory "
+                        "relief for long-segment large-batch configs).")
     return p
 
 
@@ -112,6 +115,7 @@ def config_from_args(args) -> TrainConfig:
         whiten=bool(args.whiten), whiten_mode=args.whiten_mode,
         sigma_mode=args.sigma_mode, sigma_fixed=args.sigma_fixed,
         bf16=not args.no_bf16, data_parallel=not args.no_data_parallel,
+        remat=args.remat,
         log_jsonl=args.log_jsonl, probe_cond=args.probe_cond,
         probe_t=tuple(args.probe_t), probe_interval=args.probe_interval,
         debug_first=args.debug_first, debug_first_every=args.debug_first_every,

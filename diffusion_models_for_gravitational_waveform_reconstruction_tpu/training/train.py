@@ -115,6 +115,9 @@ class TrainConfig:
     # compute
     bf16: bool = True                   # bf16 activations (TPU-native AMP)
     data_parallel: bool = True          # shard batch over the mesh
+    remat: bool = False                 # jax.checkpoint the forward: trade
+                                        # FLOPs for activation memory (the
+                                        # 16 kHz batch-512 config needs it)
 
     # logging / probes
     log_jsonl: Optional[str] = None
@@ -193,6 +196,9 @@ def make_train_step(
 
     def apply_model(params, net_in, t):
         return model.apply(params, net_in, t)
+
+    if cfg.remat:
+        apply_model = jax.checkpoint(apply_model)
 
     def loss_fn(params, x_t, cond_used, x0_sc, t, eps, mask):
         net_in = jnp.concatenate([x_t, cond_used, x0_sc], axis=1)

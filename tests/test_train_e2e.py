@@ -195,3 +195,29 @@ def test_data_parallel_matches_single_device(tmp_path):
     l1 = [h["avg_per_sample"] for h in out1["history"]]
     l2 = [h["avg_per_sample"] for h in out2["history"]]
     np.testing.assert_allclose(l2, l1, rtol=1e-4)
+
+
+def test_remat_matches_plain(tmp_path):
+    """jax.checkpoint must not change the math - identical losses."""
+    import numpy as np
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.pipeline import (
+        dataset_from_arrays,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.training.train import (
+        TrainConfig, train,
+    )
+
+    rng = np.random.default_rng(1)
+    clean = rng.normal(size=(8, 128)).astype(np.float32)
+    noisy = clean + rng.normal(size=(8, 128)).astype(np.float32)
+    base = dict(epochs=1, batch_size=4, base_ch=8, time_dim=16, depth=1,
+                T=10, warmup_steps=1, bf16=False, data_parallel=False, seed=5)
+    out_a = train(TrainConfig(model_dir=str(tmp_path / "a"), remat=False,
+                              **base),
+                  dataset=dataset_from_arrays(clean, noisy, fs=4096.0))
+    out_b = train(TrainConfig(model_dir=str(tmp_path / "b"), remat=True,
+                              **base),
+                  dataset=dataset_from_arrays(clean, noisy, fs=4096.0))
+    np.testing.assert_allclose(out_b["history"][0]["avg_per_sample"],
+                               out_a["history"][0]["avg_per_sample"],
+                               rtol=1e-5)
