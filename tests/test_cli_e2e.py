@@ -224,3 +224,34 @@ def test_gen_symmetric_augmentation(tmp_path):
         # swapped samples also swap spin labels
         assert np.allclose(ls1[swapped], -0.2)
         assert np.allclose(ls1[unequal & ~swapped], 0.1)
+
+
+def test_welch_whitening_path(tmp_path):
+    """gen --psd-source both -> train/infer with whiten_mode=welch."""
+    import h5py
+
+    path = str(tmp_path / "w.h5")
+    cli_gen.main([
+        "--mode", "fixed", "--num-samples", "6", "--output-path", path,
+        "--mass1", "35", "--mass2", "30", "--snr", "18", "--save-psd",
+        "--psd-source", "both", "--seed", "4"])
+    with h5py.File(path, "r") as f:
+        assert "psd_welch" in f and "psd_welch_freqs" in f
+
+    mdir = str(tmp_path / "m")
+    cli_train.main([
+        "--data", path, "--model_dir", mdir, "--epochs", "1",
+        "--batch-size", "3", "--base_ch", "8", "--time_dim", "16",
+        "--depth", "1", "--T", "20", "--whiten", "1", "--whiten_mode",
+        "welch", "--warmup_steps", "2", "--no-bf16"])
+    ckpt = os.path.join(mdir, "latest_model", "model_diffusion.msgpack")
+
+    out = str(tmp_path / "infer")
+    # domain flags inherited from the checkpoint (welch)
+    cli_infer.main([
+        "--input-h5", path, "--index", "0", "--model", ckpt,
+        "--outdir", out, "--steps", "3", "--run-tag", "w"])
+    with open(os.path.join(out, "metrics_w.json")) as fh:
+        m = json.load(fh)
+    assert m["whiten_kind"] == "welch"
+    assert np.isfinite(m["strain"]["corr_last"])
