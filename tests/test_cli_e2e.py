@@ -255,3 +255,29 @@ def test_welch_whitening_path(tmp_path):
         m = json.load(fh)
     assert m["whiten_kind"] == "welch"
     assert np.isfinite(m["strain"]["corr_last"])
+
+
+def test_train_whitening_auto_cascade(tmp_path):
+    """With NO saved PSDs, whiten_mode=auto falls through to the
+    self-estimated 'train' whitening on both the train and infer sides."""
+    path = str(tmp_path / "nopsd.h5")
+    cli_gen.main([
+        "--mode", "fixed", "--num-samples", "4", "--output-path", path,
+        "--mass1", "35", "--mass2", "30", "--snr", "18", "--seed", "6"])
+
+    mdir = str(tmp_path / "m")
+    cli_train.main([
+        "--data", path, "--model_dir", mdir, "--epochs", "1",
+        "--batch-size", "2", "--base_ch", "8", "--time_dim", "16",
+        "--depth", "1", "--T", "10", "--whiten", "1", "--whiten_mode",
+        "auto", "--warmup_steps", "1", "--no-bf16"])
+    ckpt = os.path.join(mdir, "latest_model", "model_diffusion.msgpack")
+
+    out = str(tmp_path / "infer")
+    cli_infer.main([
+        "--input-h5", path, "--index", "0", "--model", ckpt,
+        "--outdir", out, "--steps", "3", "--run-tag", "t"])
+    with open(os.path.join(out, "metrics_t.json")) as fh:
+        m = json.load(fh)
+    assert m["whiten_kind"] == "train"
+    assert np.isfinite(m["strain"]["corr_last"])
