@@ -99,12 +99,13 @@ class _ConvParams(nn.Module):
 class ConvBlock(nn.Module):
     """Conv1d(k, same) -> GroupNorm(gcd(8, C)) -> SiLU on (B, L, C).
 
-    With ``use_pallas`` the GN+SiLU epilogue runs as one fused Pallas kernel
-    (single VMEM pass, MXU-matmul group statistics) when the stage block
-    fits VMEM; otherwise it falls back to the flax ops.  Measured on v5e
-    (tools/bench_kernels.py): XLA already fuses this chain to ~0.03 ms at
-    batch-64 stage shapes, so the kernel is at best at parity — it exists as
-    the scaffold for deeper fusion (conv epilogue), not as a default win.
+    With ``use_pallas`` the ENTIRE block (conv + GN + SiLU) runs as one
+    Pallas kernel per sample: im2col single-MXU-matmul conv with group
+    statistics and the activation in-register (``fused_conv_gn_silu``).
+    Measured on v5e (tools/bench_kernels.py): 1.07-1.42x over XLA on f32
+    stage shapes (best on wide concat inputs), but the bf16 end-to-end
+    model is still faster on plain XLA (whose bf16 conv + fusion pipeline
+    wins) — hence default OFF; enable for f32 workloads.
     """
 
     out_ch: int

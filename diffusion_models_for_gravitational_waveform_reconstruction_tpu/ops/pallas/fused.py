@@ -154,17 +154,19 @@ def _conv_gn_silu_kernel(x_ref, w_ref, b_ref, gs_ref, gb_ref, m_ref, o_ref,
     cg = Cout // groups
     n = float(L * cg)
 
-    x = x_ref[:].astype(jnp.float32)                      # (L, Cin)
-    zero_row = jnp.zeros((1, Cin), jnp.float32)
+    # keep the MXU inputs in the model's compute dtype (bf16 models must not
+    # pay an f32 conv — that's how XLA's own conv runs); accumulate f32
+    x = x_ref[:]                                          # (L, Cin)
+    zero_row = jnp.zeros((1, Cin), x.dtype)
     x_prev = jnp.concatenate([zero_row, x[:-1]], axis=0)  # left tap
     x_next = jnp.concatenate([x[1:], zero_row], axis=0)   # right tap
     xcat = jnp.concatenate([x_prev, x, x_next], axis=1)   # (L, 3*Cin) im2col
 
     # ONE MXU matmul does the whole k=3 conv for this sample
-    y = jax.lax.dot_general(xcat, w_ref[:].astype(jnp.float32),
+    y = jax.lax.dot_general(xcat, w_ref[:].astype(x.dtype),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    y = y + b_ref[:].astype(jnp.float32)                  # (L, Cout)
+    y = y + b_ref[:].astype(jnp.float32)                  # (L, Cout) f32
 
     # GroupNorm stats via group-one-hot matmuls (lane-friendly)
     M = m_ref[:]                                          # (Cout, G)
