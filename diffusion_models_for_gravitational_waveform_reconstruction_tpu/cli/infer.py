@@ -52,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--dc-weight", type=float, default=0.0)
     s.add_argument("--cond-scale", type=float, default=1.0)
     s.add_argument("--eps-scale", type=float, default=1.0)
-    s.add_argument("--pred-type", choices=["eps", "x0"], default="eps")
+    s.add_argument("--pred-type", choices=["eps", "x0", "v"], default=None,
+                   help="Default: inherited from the checkpoint.")
     s.add_argument("--cfg-scale", type=float, default=1.5)
     s.add_argument("--cfg-mode", choices=["const", "tophat", "gauss"],
                    default="const")
@@ -123,6 +124,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         args.sigma_mode = str(ck.get("sigma_mode", "std"))
     if args.sigma_fixed is None:
         args.sigma_fixed = float(ck.get("sigma_fixed", 1.0))
+    if args.pred_type is None:
+        args.pred_type = str(ck.get("pred_type", "eps"))
     meta_scale = ck.get("meta_scale", {}) or {}
     M_SCALE = float(meta_scale.get("M", 80.0))
     Q_SCALE = float(meta_scale.get("q", 10.0))

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--t_cover", choices=["rand", "strat"], default="rand")
     p.add_argument("--t_bins", type=int, default=0)
     p.add_argument("--t_multi", type=int, default=1)
+    p.add_argument("--pred_type", choices=["eps", "v"], default="eps",
+                   help="Training parametrisation: eps (reference) or v "
+                        "(extension, well-conditioned at high t).")
     p.add_argument("--loss", choices=["huber", "mse"], default="huber")
     p.add_argument("--huber_beta", type=float, default=0.5)
     p.add_argument("--clip_grad", type=float, default=1.0)
@@ -105,6 +108,7 @@ def config_from_args(args) -> TrainConfig:
         t_min_frac=args.t_min_frac, force_cond_epochs=args.force_cond_epochs,
         dropout_y_only=bool(args.dropout_y_only), t_cover=args.t_cover,
         t_bins=args.t_bins, t_multi=args.t_multi, loss=args.loss,
+        pred_type=args.pred_type,
         huber_beta=args.huber_beta, clip_grad=args.clip_grad,
         clamp_inputs=args.clamp_inputs,
         skip_bad_batches=bool(args.skip_bad_batches),

@@ -62,6 +62,32 @@ def x0_to_eps(
     return (x_t - jnp.sqrt(ab) * x0_hat) / jnp.sqrt(jnp.clip(1.0 - ab, 1e-12))
 
 
+def v_target(
+    schedule: DiffusionSchedule, x0: jnp.ndarray, eps: jnp.ndarray, t: jnp.ndarray
+) -> jnp.ndarray:
+    """v-prediction target (Salimans & Ho 2022): v = sqrt(ab) eps - sqrt(1-ab) x0.
+
+    Extension beyond the reference (which only trains eps-prediction,
+    ``train.py:411``): v-parametrisation is uniformly well-conditioned
+    across the whole schedule — at t ~ T the eps target carries almost no
+    x0 information, which is exactly the regime where this round's
+    empirical runs showed the weakest predictions.
+    """
+    ab = _gather_ab(schedule.alpha_bar, t)
+    return jnp.sqrt(ab) * eps - jnp.sqrt(1.0 - ab) * x0
+
+
+def v_to_x0_eps(
+    schedule: DiffusionSchedule, x_t: jnp.ndarray, v_hat: jnp.ndarray, t: jnp.ndarray
+):
+    """(x0_hat, eps_hat) from a v prediction:
+    x0 = sqrt(ab) x_t - sqrt(1-ab) v;  eps = sqrt(1-ab) x_t + sqrt(ab) v."""
+    ab = _gather_ab(schedule.alpha_bar, t)
+    sa = jnp.sqrt(ab)
+    sb = jnp.sqrt(1.0 - ab)
+    return sa * x_t - sb * v_hat, sb * x_t + sa * v_hat
+
+
 # ---------------------------------------------------------------------------
 # Losses
 # ---------------------------------------------------------------------------

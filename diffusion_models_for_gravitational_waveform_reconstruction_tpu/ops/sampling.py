@@ -199,6 +199,12 @@ def ddim_sample(
         if cfg.pred_type == "eps":
             eps_hat = cfg.eps_scale * out
             x0_hat = (x_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+        elif cfg.pred_type == "v":
+            # v-parametrisation (extension): x0 = sa x_t - sb v; eps = sb x_t + sa v
+            sa = jnp.sqrt(ab_t)
+            sb = jnp.sqrt(jnp.clip(1.0 - ab_t, 0.0))
+            x0_hat = sa * x_t - sb * out
+            eps_hat = sb * x_t + sa * out
         else:
             x0_hat = out
             eps_hat = (x_t - jnp.sqrt(ab_t) * x0_hat) / jnp.sqrt(
@@ -323,6 +329,12 @@ def ddpm_sample(
         if cfg.pred_type == "eps":
             eps_hat = cfg.eps_scale * out
             x0_hat = (x_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+        elif cfg.pred_type == "v":
+            # v-parametrisation (extension): x0 = sa x_t - sb v; eps = sb x_t + sa v
+            sa = jnp.sqrt(ab_t)
+            sb = jnp.sqrt(jnp.clip(1.0 - ab_t, 0.0))
+            x0_hat = sa * x_t - sb * out
+            eps_hat = sb * x_t + sa * out
         else:
             x0_hat = out
             eps_hat = (x_t - jnp.sqrt(ab_t) * x0_hat) / jnp.sqrt(

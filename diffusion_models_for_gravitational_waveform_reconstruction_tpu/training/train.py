@@ -90,6 +90,10 @@ class TrainConfig:
     t_bins: int = 0
     t_multi: int = 1
 
+    # parametrisation: 'eps' (reference) | 'v' (extension; well-conditioned
+    # at high t where eps targets carry no signal)
+    pred_type: str = "eps"
+
     # robustness
     loss: str = "huber"                 # 'huber' | 'mse'
     huber_beta: float = 0.5
@@ -200,12 +204,12 @@ def make_train_step(
     if cfg.remat:
         apply_model = jax.checkpoint(apply_model)
 
-    def loss_fn(params, x_t, cond_used, x0_sc, t, eps, mask):
+    def loss_fn(params, x_t, cond_used, x0_sc, t, target, mask):
         net_in = jnp.concatenate([x_t, cond_used, x0_sc], axis=1)
-        eps_hat = apply_model(params, net_in, t)
-        loss = masked_loss(eps_hat, eps, mask, t, schedule, cfg.loss,
+        out = apply_model(params, net_in, t)
+        loss = masked_loss(out, target, mask, t, schedule, cfg.loss,
                            cfg.huber_beta, cfg.loss_weight_power)
-        return loss, eps_hat
+        return loss, out
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array,
              t_min: jnp.ndarray, p_uncond_eff: jnp.ndarray,
@@ -263,17 +267,26 @@ def make_train_step(
         def selfcond_on(_):
             zeros_sc = jnp.zeros_like(x_t)
             net_in = jnp.concatenate([x_t, cond_used, zeros_sc], axis=1)
-            eps_hat0 = apply_model(state.params, net_in, t)
+            out0 = apply_model(state.params, net_in, t)
             ab = schedule.alpha_bar[t].reshape(-1, 1, 1)
-            x0_hat = (x_t - jnp.sqrt(1 - ab) * eps_hat0) / jnp.sqrt(ab)
+            if cfg.pred_type == "v":
+                x0_hat = jnp.sqrt(ab) * x_t - jnp.sqrt(1 - ab) * out0
+            else:
+                x0_hat = (x_t - jnp.sqrt(1 - ab) * out0) / jnp.sqrt(ab)
             return jax.lax.stop_gradient(x0_hat)
 
         coin = jax.random.uniform(k_sc_coin, ()) < p_selfcond_eff
         x0_sc = jax.lax.cond(coin, selfcond_on,
                              lambda _: jnp.zeros_like(x_t), operand=None)
 
-        (loss, _eps_hat), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x_t, cond_used, x0_sc, t, eps, mask)
+        if cfg.pred_type == "v":
+            from ..ops.diffusion import v_target
+
+            target = v_target(schedule, clean_norm, eps, t)
+        else:
+            target = eps
+        (loss, _out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x_t, cond_used, x0_sc, t, target, mask)
         grad_norm = optax.global_norm(grads)
 
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)

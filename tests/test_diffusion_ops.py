@@ -107,3 +107,25 @@ def test_stratified_timesteps_cover_range():
     # each octile gets ~8 draws
     hist, _ = np.histogram(tn, bins=8, range=(0, 1000))
     assert hist.min() >= 4
+
+
+def test_v_parametrisation_roundtrip(sched):
+    """v = sa*eps - sb*x0 inverts exactly: (x0, eps) recovered from (x_t, v)."""
+    import jax
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.diffusion import (
+        q_sample_with_eps,
+        v_target,
+        v_to_x0_eps,
+    )
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(3, 1, 64)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=(3, 1, 64)).astype(np.float32))
+    t = jnp.asarray([1, 25, 48])
+    x_t = q_sample_with_eps(sched, x0, t, eps)
+    v = v_target(sched, x0, eps, t)
+    x0_r, eps_r = v_to_x0_eps(sched, x_t, v, t)
+    np.testing.assert_allclose(np.asarray(x0_r), np.asarray(x0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eps_r), np.asarray(eps),
+                               rtol=1e-4, atol=1e-5)
