@@ -31,7 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     s = p.add_argument_group("Sampler knobs (override --from-sweep)")
     s.add_argument("--steps", type=int, default=200)
     s.add_argument("--eta", type=float, default=0.0)
-    s.add_argument("--start-snr", type=float, default=8.0)
+    s.add_argument("--start-snr", type=float, default=8.0,
+                   help="Reference-parity default TRUNCATES the trajectory "
+                        "(starts at the t where SNR(t)=8). Models trained "
+                        "for full-range sampling (t_min_frac=0, esp. "
+                        "pred_type=v) score much better with a high value "
+                        "or an explicit --start-t.")
     s.add_argument("--start-t", type=int, default=None)
     s.add_argument("--init-mode", choices=["noise", "scaled-noise", "y-blend"],
                    default="noise")
