@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(accepted for parity; self-cond channel is updated "
                    "every step)")
     s.add_argument("--oracle-init", action="store_true")
+    s.add_argument("--tiled-chunk", type=int, default=0,
+                   help="Evaluate the U-Net in halo tiles of this length "
+                        "(sequence-parallel long-segment path; 0 = off).")
 
     d = p.add_argument_group("Domain (default: inherited from the checkpoint "
                              "args so inference matches training)")
@@ -167,7 +170,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     key = jax.random.PRNGKey(args.seed)
     x0_raw, x0_white, diag = reconstruct(
         model, params, schedule, prep, cfg, key, sampler=args.sampler,
-        collect_diagnostics=bool(args.log_jsonl) or args.debug)
+        collect_diagnostics=bool(args.log_jsonl) or args.debug,
+        tiled_chunk=args.tiled_chunk)
 
     if diag is not None and args.log_jsonl:
         n_steps = len(diag["t"])

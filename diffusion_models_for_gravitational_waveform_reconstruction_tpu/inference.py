@@ -337,12 +337,25 @@ def reconstruct(
     key: jax.Array,
     sampler: str = "ddim",
     collect_diagnostics: bool = False,
+    tiled_chunk: int = 0,
+    mesh=None,
 ):
     """Sample x0 for one prepared measurement; returns (x0_hat_raw strain,
-    x0_hat_white, diagnostics|None)."""
+    x0_hat_white, diagnostics|None).
 
-    def model_fn(p, x, t):
-        return model.apply(p, x, t)
+    ``tiled_chunk`` > 0 evaluates the U-Net in halo tiles of that length
+    (``parallel/seqtile.py``) — the multi-chip long-segment path; with
+    ``mesh`` the tile axis shards over the mesh's data axis.
+    """
+
+    if tiled_chunk > 0:
+        from .parallel.seqtile import tiled_apply
+
+        def model_fn(p, x, t):
+            return tiled_apply(model, p, x, t, chunk=tiled_chunk, mesh=mesh)
+    else:
+        def model_fn(p, x, t):
+            return model.apply(p, x, t)
 
     cond = jnp.asarray(prep["cond_stack"])
     clean_norm = (jnp.asarray(prep["clean_norm"])

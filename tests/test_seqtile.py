@@ -75,3 +75,35 @@ def test_tiled_sharded_over_mesh(small_model):
 
 def test_receptive_field_radius_monotone():
     assert receptive_field_radius(3) > receptive_field_radius(2) > 0
+
+
+def test_infer_cli_tiled_chunk(tmp_path):
+    """--tiled-chunk drives the sequence-parallel path through the CLI."""
+    import json
+    import os
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli import (
+        gen as cli_gen,
+        infer as cli_infer,
+        train as cli_train,
+    )
+
+    path = str(tmp_path / "d.h5")
+    cli_gen.main(["--mode", "fixed", "--num-samples", "4", "--output-path",
+                  path, "--mass1", "35", "--mass2", "30", "--snr", "18",
+                  "--save-psd", "--psd-source", "model", "--seed", "1"])
+    mdir = str(tmp_path / "m")
+    cli_train.main(["--data", path, "--model_dir", mdir, "--epochs", "1",
+                    "--batch-size", "2", "--base_ch", "8", "--time_dim",
+                    "16", "--depth", "2", "--T", "10", "--whiten", "1",
+                    "--whiten_mode", "model", "--warmup_steps", "1",
+                    "--no-bf16"])
+    out = str(tmp_path / "o")
+    cli_infer.main(["--input-h5", path, "--index", "0", "--model",
+                    os.path.join(mdir, "latest_model",
+                                 "model_diffusion.msgpack"),
+                    "--outdir", out, "--steps", "3", "--tiled-chunk", "1024",
+                    "--run-tag", "t"])
+    with open(os.path.join(out, "metrics_t.json")) as fh:
+        m = json.load(fh)
+    assert np.isfinite(m["strain"]["corr_last"])
