@@ -147,6 +147,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                          args.sigma_mode, args.sigma_fixed)
     key = jax.random.PRNGKey(args.seed)
     rows = eval_indices(args, model, params, schedule, ck, preps, key)
+    if not rows:
+        raise SystemExit(
+            "gw-grid: no scorable samples — none of the selected indices "
+            "carry a clean signal in the dataset (eval_indices skips "
+            "samples without one). A mass-grid evaluation needs a dataset "
+            "written with clean signals (gw-gen stores them by default).")
 
     labels = {int(i): {"m1": float(m1[i]), "m2": float(m2[i])} for i in indices}
     if args.unordered:

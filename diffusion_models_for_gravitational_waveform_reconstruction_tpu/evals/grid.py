@@ -130,7 +130,8 @@ def eval_indices(
         cfg_mode=args.cfg_mode, cfg_center=args.cfg_center,
         cfg_width=args.cfg_width)
     use_selfcond = int(ck.get("in_ch", 3)) == (1 + int(ck.get("cond_in_ch", 1)) + 1)
-    cfg = _sampler_config(combo, args.steps, schedule, ck, use_selfcond)
+    cfg = _sampler_config(combo, args.steps, schedule, ck, use_selfcond,
+                          start_t_override=getattr(args, "start_t", None))
 
     by_len: Dict[int, List[int]] = {}
     for i, p in enumerate(preps):

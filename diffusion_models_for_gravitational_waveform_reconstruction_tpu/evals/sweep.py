@@ -91,16 +91,28 @@ def prep_samples(
 
 
 def _sampler_config(combo: Combo, steps: int, schedule, ck: dict,
-                    use_selfcond: bool) -> SamplerConfig:
-    start_t = t_for_target_snr(schedule, combo.start_snr)
-    start_t = int(np.clip(round(start_t / START_T_QUANT) * START_T_QUANT,
-                          START_T_QUANT, schedule.T - 1))
+                    use_selfcond: bool,
+                    start_t_override: int | None = None) -> SamplerConfig:
+    """Sampler config for one combo, inheriting checkpoint-domain knobs.
+
+    ``pred_type`` MUST come from the checkpoint (same contract as gw-infer):
+    decoding a v-prediction model with eps algebra silently corrupts every
+    sweep/grid metric.  ``start_t_override`` (e.g. gw-grid ``--start-t``)
+    wins over the SNR-derived start.
+    """
+    if start_t_override is not None:
+        start_t = int(np.clip(start_t_override, 1, schedule.T - 1))
+    else:
+        start_t = t_for_target_snr(schedule, combo.start_snr)
+        start_t = int(np.clip(round(start_t / START_T_QUANT) * START_T_QUANT,
+                              START_T_QUANT, schedule.T - 1))
     return SamplerConfig(
         steps=steps, eta=combo.eta, start_t=start_t,
         init_mode=combo.init_mode, dc_weight=combo.dc_weight,
         cfg_scale=combo.cfg_scale, cfg_mode=combo.cfg_mode,
         cfg_center=combo.cfg_center, cfg_width=combo.cfg_width,
         use_selfcond=use_selfcond,
+        pred_type=str(ck.get("pred_type", "eps")),
         drop_y_only=bool(ck.get("dropout_y_only", True)))
 
 

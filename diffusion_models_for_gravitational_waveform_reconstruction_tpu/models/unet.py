@@ -195,15 +195,14 @@ def _resize_linear(x: jnp.ndarray, new_len: int) -> jnp.ndarray:
     L = x.shape[1]
     if L == new_len:
         return x
-    if L % new_len == 0:
-        # integer downsample factor f: the half-pixel source coordinate is
-        # (i+0.5)f - 0.5 = f*i + (f/2 - 0.5), i.e. exactly halfway between
+    if L % new_len == 0 and (L // new_len) % 2 == 0:
+        # EVEN integer downsample factor f: the half-pixel source coordinate
+        # is (i+0.5)f - 0.5 = f*i + (f/2 - 0.5), i.e. exactly halfway between
         # elements f*i + f//2 - 1 and f*i + f//2 within each window — a
         # reshape + two static middle-axis slices (XLA/TPU-friendly; avoids
-        # both gathers and strided slices on the sublane axis).
+        # both gathers and strided slices on the sublane axis).  Odd factors
+        # land ON an element, not between two, so they take the general path.
         f = L // new_len
-        if f == 1:
-            return x
         off = f // 2 - 1
         B, _, C = x.shape
         xr = x.reshape(B, new_len, f, C)

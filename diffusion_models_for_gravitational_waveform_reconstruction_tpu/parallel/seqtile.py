@@ -17,7 +17,9 @@ Exactness: every op in the U-Net is local (conv k=3, pool-2, nearest
 upsample, per-stage cond resize with integer factors) with a finite
 receptive field, so with ``halo >= receptive_field_radius`` the interior of
 each chunk is EXACT — except GroupNorm, whose statistics are computed per
-chunk instead of over the full sequence.  For whitened, sigma-normalised
+chunk instead of over the full sequence, and bottleneck self-attention
+(``use_attention`` checkpoints), whose receptive field is global: per-tile
+evaluation restricts it to within-tile attention (a warning is emitted).  For whitened, sigma-normalised
 strain (stationary by construction) the stats deviation is O(1/sqrt(chunk))
 and empirically small (see tests/test_seqtile.py), but this is a documented
 approximation, not bit parity.
@@ -67,6 +69,15 @@ def tiled_apply(
     tiles run as one batched forward on the current device.
     """
     B, C, L = x.shape
+    if getattr(model, "use_attention", False):
+        import warnings
+
+        warnings.warn(
+            "tiled_apply on a use_attention model: bottleneck self-attention "
+            "has a GLOBAL receptive field, so per-tile evaluation changes its "
+            "semantics (each tile attends only within itself) beyond the "
+            "documented per-chunk GroupNorm approximation.",
+            stacklevel=2)
     depth = int(getattr(model, "depth", 3))
     align = 2 ** depth
     chunk = _round_up(min(chunk, _round_up(L, align)), align)

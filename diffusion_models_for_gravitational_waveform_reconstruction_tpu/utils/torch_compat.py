@@ -49,7 +49,6 @@ def torch_state_dict_to_flax(sd: Dict[str, np.ndarray], depth: int) -> dict:
         bias=sd["time_mlp.1.bias"])
 
     for i in range(depth):
-        put(f"enc{i}", )
         p[f"enc{i}"] = {
             "conv": {"kernel": _conv1d(sd[f"encoders.{i}.0.weight"]),
                      "bias": sd[f"encoders.{i}.0.bias"]},

@@ -164,6 +164,48 @@ def test_sweep_random_mode(workdir, dataset, checkpoint):
     assert os.path.exists(os.path.join(out, "best_cmd.txt"))
 
 
+def test_sweep_grid_inherit_pred_type_v(workdir, dataset):
+    """Regression: a v-prediction checkpoint must be decoded with v algebra
+    by gw-sweep/gw-grid (ADVICE r1 high: _sampler_config defaulted to eps)."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.evals.sweep import (
+        Combo,
+        _sampler_config,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.inference import (
+        load_model,
+    )
+
+    mdir = os.path.join(workdir, "model_v")
+    cli_train.main([
+        "--data", dataset, "--model_dir", mdir, "--epochs", "1",
+        "--batch-size", "4", "--base_ch", "8", "--time_dim", "16",
+        "--depth", "2", "--T", "50", "--whiten", "1", "--whiten_mode",
+        "model", "--warmup_steps", "2", "--no-bf16", "--pred_type", "v"])
+    ckpt = os.path.join(mdir, "latest_model", "model_diffusion.msgpack")
+
+    _, _, schedule, ck = load_model(ckpt)
+    assert ck["pred_type"] == "v"
+    combo = Combo(start_snr=8.0, cfg_scale=1.0, init_mode="noise",
+                  dc_weight=0.0, eta=0.0)
+    cfg = _sampler_config(combo, 4, schedule, ck, use_selfcond=True)
+    assert cfg.pred_type == "v"
+    # gw-grid --start-t override wins over the snr-derived start
+    cfg2 = _sampler_config(combo, 4, schedule, ck, use_selfcond=True,
+                           start_t_override=37)
+    assert cfg2.start_t == 37
+
+    # the full sweep path runs with the v checkpoint
+    out = os.path.join(workdir, "sweep_v")
+    cli_sweep.main([
+        "--input-h5", dataset, "--indices", "0", "--model", ckpt,
+        "--outdir", out, "--grid", "--grid-snr", "8", "--grid-cfg", "1.0",
+        "--grid-init", "noise", "--grid-dc", "0.0", "--grid-eta", "0.0",
+        "--steps-coarse", "4", "--whiten", "1", "--whiten-mode", "model"])
+    with open(os.path.join(out, "grid_results.json")) as fh:
+        res = json.load(fh)
+    assert np.isfinite(res[0]["J"])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
 

@@ -238,7 +238,10 @@ def test_load_model_from_torch_pth(tmp_path):
 
 
 @pytest.mark.parametrize("L_in,L_out", [(512, 300), (300, 512), (512, 256),
-                                        (4096, 1024)])
+                                        (4096, 1024),
+                                        # odd integer factors (3, 5) must
+                                        # take the general gather path
+                                        (768, 256), (1280, 256)])
 def test_resize_linear_matches_torch_interpolate(L_in, L_out):
     """_resize_linear (both fast and gather paths) vs torch F.interpolate."""
     from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models.unet import (
