@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("Grid mode")
     p.add_argument("--grid", action="store_true",
                    help="Exhaustive product sweep instead of random search.")
+    g.add_argument("--grid-steps", type=int, default=None,
+                   help="DDIM steps for grid-mode evaluation (ref "
+                        "sweep_infer.py:132, default 200 there). Evaluate at "
+                        "the DEPLOYMENT step count to avoid knob-transfer "
+                        "failure. Unset: falls back to --steps-coarse.")
     g.add_argument("--grid-snr", type=float, nargs="+", default=[4.0, 8.0, 16.0])
     g.add_argument("--grid-cfg", type=float, nargs="+", default=[1.0, 1.5, 2.0])
     g.add_argument("--grid-init", type=str, nargs="+",

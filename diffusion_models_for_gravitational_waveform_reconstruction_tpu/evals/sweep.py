@@ -209,7 +209,12 @@ def best_cmd(args, combo: dict, steps: int) -> str:
 
 
 def run_grid(args, model, params, schedule, ck, preps, key) -> dict:
-    """Exhaustive product sweep (ref ``sweep_infer.py:246-287``)."""
+    """Exhaustive product sweep (ref ``sweep_infer.py:246-287``).
+
+    Grid mode evaluates at ``--grid-steps`` (its own step count, ref
+    ``sweep_infer.py:132``) — which is also what ``best_cmd.txt`` replays,
+    so the selected knobs were validated at the step count they ship with.
+    """
     results = []
     combos = [
         Combo(start_snr=s, cfg_scale=c, init_mode=i, dc_weight=d, eta=e,
@@ -218,12 +223,13 @@ def run_grid(args, model, params, schedule, ck, preps, key) -> dict:
             args.grid_snr, args.grid_cfg, args.grid_init, args.grid_dc,
             args.grid_eta)
     ]
+    grid_steps = int(getattr(args, "grid_steps", None) or args.steps_coarse)
     print(f"[sweep] grid: {len(combos)} combos x {len(preps)} samples "
-          f"@ {args.steps_coarse} steps")
+          f"@ {grid_steps} steps")
     for n, combo in enumerate(combos):
         key, k = jax.random.split(key)
         r = eval_combo(model, params, schedule, ck, preps, combo,
-                       args.steps_coarse, k)
+                       grid_steps, k)
         results.append(r)
         print(f"[sweep] {n + 1}/{len(combos)} J={r['J']:.4f}  {combo.to_dict()}")
 
@@ -231,7 +237,7 @@ def run_grid(args, model, params, schedule, ck, preps, key) -> dict:
     _dump(args.outdir, "grid_results.json", results)
     top = results[0]
     with open(os.path.join(args.outdir, "best_cmd.txt"), "w") as fh:
-        fh.write(best_cmd(args, top["combo"], args.steps_refine) + "\n")
+        fh.write(best_cmd(args, top["combo"], grid_steps) + "\n")
     return top
 
 

@@ -459,6 +459,9 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
     t_run0 = time.time()
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
+    # read the resume payload BEFORE the output-dir wipe so resuming from a
+    # checkpoint inside model_dir/latest_model is safe
+    ck_resume = load_checkpoint(cfg.resume) if cfg.resume else None
     out_dir = prepare_output_dir(cfg.model_dir)
     logger = JsonlLogger(cfg.log_jsonl)
 
@@ -497,18 +500,26 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
     probe_fn = make_probe_fn(model, schedule, cfg) if cfg.probe_cond else None
 
     start_epoch = 1
-    if cfg.resume:
-        ck = load_checkpoint(cfg.resume)
+    if ck_resume is not None:
+        ck = ck_resume
+        # exact step restore (falls back to epoch*n_batches for pre-r2
+        # checkpoints) — reconstruction from epoch silently misaligns the
+        # LR schedule when batch size or dataset changed between runs
+        step_restored = int(ck.get("global_step",
+                                   int(ck.get("epoch", 0)) * n_batches))
         state = TrainState(
             params=restore_params(state.params, ck["model_state"]),
             ema_params=(restore_params(state.ema_params, ck["model_ema_state"])
                         if "model_ema_state" in ck else state.ema_params),
             opt_state=(restore_params(state.opt_state, ck["optimizer_state"])
                        if "optimizer_state" in ck else state.opt_state),
-            step=jnp.asarray(int(ck.get("epoch", 0)) * n_batches, jnp.int32),
+            step=jnp.asarray(step_restored, jnp.int32),
         )
+        if "rng_key" in ck:
+            key = jnp.asarray(np.asarray(ck["rng_key"], np.uint32))
         start_epoch = int(ck.get("epoch", 0)) + 1
-        print(f"[train] resumed from {cfg.resume} at epoch {start_epoch}")
+        print(f"[train] resumed from {cfg.resume} at epoch {start_epoch} "
+              f"(global step {step_restored})")
 
     if mesh is None and cfg.data_parallel and len(jax.devices()) > 1:
         if cfg.batch_size % len(jax.devices()) == 0:
@@ -611,7 +622,7 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
         n_seen = len(batch_losses) + skipped
         if cfg.skip_bad_batches and n_seen >= 4 and skipped > n_seen // 2:
             _save(out_dir, state, cfg, in_ch, cond_in_ch, c_meta, meta_scale,
-                  epoch, name="model_diffusion_aborted.msgpack")
+                  epoch, name="model_diffusion_aborted.msgpack", key=key)
             raise RuntimeError(
                 f"epoch {epoch}: {skipped}/{n_seen} batches skipped "
                 f"(non-finite or above loss threshold) — aborting; last "
@@ -640,10 +651,10 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
 
         if cfg.save_every_epochs and epoch % cfg.save_every_epochs == 0:
             _save(out_dir, state, cfg, in_ch, cond_in_ch, c_meta, meta_scale, epoch,
-                  name=f"model_diffusion_ep{epoch}.msgpack")
+                  name=f"model_diffusion_ep{epoch}.msgpack", key=key)
 
     save_path = _save(out_dir, state, cfg, in_ch, cond_in_ch, c_meta, meta_scale,
-                      cfg.epochs)
+                      cfg.epochs, key=key)
     print(f"[train] saved model to {save_path}")
     return {
         "state": state, "model": model, "schedule": schedule,
@@ -653,7 +664,7 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
 
 
 def _save(out_dir, state: TrainState, cfg, in_ch, cond_in_ch, c_meta, meta_scale,
-          epoch, name="model_diffusion.msgpack"):
+          epoch, name="model_diffusion.msgpack", key=None):
     path = os.path.join(out_dir, name)
     save_checkpoint(
         path,
@@ -662,6 +673,8 @@ def _save(out_dir, state: TrainState, cfg, in_ch, cond_in_ch, c_meta, meta_scale
         epoch=epoch,
         model_ema_state=state.ema_params if cfg.ema else None,
         opt_state=state.opt_state,
+        global_step=int(np.asarray(state.step)),
+        rng_key=np.asarray(key) if key is not None else None,
     )
     return path
 

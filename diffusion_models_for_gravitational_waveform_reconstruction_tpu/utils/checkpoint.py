@@ -35,11 +35,17 @@ def save_checkpoint(
     epoch: int,
     model_ema_state=None,
     opt_state=None,
+    global_step: int | None = None,
+    rng_key=None,
 ) -> None:
     """Write the checkpoint payload to ``path`` (msgpack).
 
     ``args`` must be JSON-serialisable; it lands both inside the msgpack and
-    in a human-readable ``<path>.args.json`` sidecar.
+    in a human-readable ``<path>.args.json`` sidecar.  ``global_step`` and
+    ``rng_key`` (host PRNG key) let ``--resume`` continue the LR schedule and
+    randomness exactly, instead of reconstructing step from epoch*n_batches
+    (which silently misaligns the LR schedule if batch size or dataset
+    changed between runs).
     """
     parent = os.path.dirname(path)
     if parent:
@@ -49,6 +55,10 @@ def save_checkpoint(
         "epoch": int(epoch),
         "args_json": json.dumps(args, sort_keys=True, default=str),
     }
+    if global_step is not None:
+        payload["global_step"] = int(global_step)
+    if rng_key is not None:
+        payload["rng_key"] = np.asarray(rng_key)
     if model_ema_state is not None:
         payload["model_ema_state"] = serialization.to_state_dict(
             _to_numpy_tree(model_ema_state))

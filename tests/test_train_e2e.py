@@ -149,6 +149,43 @@ def test_resume_roundtrip(tmp_path):
     assert all(np.isfinite(np.asarray(x)).all() for x in p_new)
 
 
+def test_resume_restores_global_step_and_rng(tmp_path):
+    """Resume restores the EXACT global step (not epoch*n_batches): the LR
+    schedule stays continuous even when batch size changes between runs —
+    and resuming from a checkpoint inside model_dir/latest_model is safe
+    (the payload is read before the output-dir wipe)."""
+    import numpy as np
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.pipeline import (
+        dataset_from_arrays,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.training.train import (
+        TrainConfig, train,
+    )
+
+    rng = np.random.default_rng(0)
+    clean = rng.normal(size=(16, 128)).astype(np.float32)
+    noisy = clean + rng.normal(size=(16, 128)).astype(np.float32)
+    ds = dataset_from_arrays(clean, noisy, fs=4096.0)
+
+    base = dict(base_ch=8, time_dim=16, depth=1, T=20, warmup_steps=2,
+                bf16=False, data_parallel=False, skip_bad_batches=False)
+    # run 1: batch 8 -> 2 batches/epoch, 2 epochs -> global step 4
+    out1 = train(TrainConfig(model_dir=str(tmp_path / "m"), epochs=2,
+                             batch_size=8, **base), dataset=ds)
+    ck = load_checkpoint(out1["checkpoint"])
+    assert ck["global_step"] == 4
+    assert "rng_key" in ck
+
+    # resume IN PLACE with batch 4 (4 batches/epoch). The old
+    # epoch*n_batches reconstruction would restart from step 8; the exact
+    # restore continues from 4 and epoch 3 adds 4 more -> 8.
+    out2 = train(TrainConfig(model_dir=str(tmp_path / "m"), epochs=3,
+                             batch_size=4, resume=out1["checkpoint"], **base),
+                 dataset=ds)
+    assert int(np.asarray(out2["state"].step)) == 8
+    assert [h["epoch"] for h in out2["history"]] == [3]
+
+
 def test_train_from_synth_spec(tmp_path):
     """--data synth:N trains end-to-end with no HDF5/PyCBC round trip."""
     from diffusion_models_for_gravitational_waveform_reconstruction_tpu.training.train import (
