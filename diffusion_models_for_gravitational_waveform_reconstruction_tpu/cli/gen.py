@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--num-samples", type=int, required=True)
     g.add_argument("--output-path", type=str, required=True)
     g.add_argument("--seed", type=int, default=123)
+    g.add_argument("--device", type=str, default="cpu",
+                   help="JAX platform for synthesis (cpu/tpu). Defaults to "
+                        "cpu: on-device rfft at L>=8192 is known to wedge "
+                        "the TPU tunnel on this rig.")
     g.add_argument("--engine", choices=["jax", "pycbc"], default="jax",
                    help="Waveform engine: batched on-device JAX chirps, or "
                         "host-side PyCBC SEOBNRv4 (requires pycbc installed).")
@@ -321,6 +325,8 @@ def generate_pycbc(specs: List[dict], args) -> Dict[int, dict]:
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
+    from ..utils.platform import maybe_force_platform
+    maybe_force_platform(args.device)
     rng = np.random.default_rng(args.seed)
     specs = build_specs(args, rng)
 

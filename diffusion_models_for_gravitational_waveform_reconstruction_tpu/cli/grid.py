@@ -22,7 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-h5", type=str, required=True)
     p.add_argument("--model", type=str, required=True)
     p.add_argument("--outdir", type=str, default="grid_out")
-    p.add_argument("--device", type=str, default=None, help="(ignored; XLA)")
+    p.add_argument("--device", type=str, default=None, help="JAX platform override (cpu/tpu); default: auto.")
     p.add_argument("--amp", action="store_true", help="(ignored; bf16)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--from-sweep", type=str, default=None,
@@ -93,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
+    from ..utils.platform import maybe_force_platform
+    maybe_force_platform(args.device)
 
     import h5py
 

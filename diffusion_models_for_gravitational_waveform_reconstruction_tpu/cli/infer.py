@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, required=True,
                    help="Checkpoint path (.msgpack).")
     p.add_argument("--outdir", type=str, default="infer_out")
-    p.add_argument("--device", type=str, default=None, help="(ignored; XLA)")
+    p.add_argument("--device", type=str, default=None, help="JAX platform override (cpu/tpu); default: auto.")
     p.add_argument("--amp", action="store_true", help="(ignored; bf16)")
     p.add_argument("--use-ema", dest="use_ema", action="store_true", default=True)
     p.add_argument("--no-use-ema", dest="use_ema", action="store_false")
@@ -95,6 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
+    from ..utils.platform import maybe_force_platform
+    maybe_force_platform(args.device)
     if (args.input_h5 is None) == (args.input_npy is None):
         raise SystemExit("provide exactly one of --input-h5 / --input-npy")
 

@@ -21,7 +21,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--indices", type=int, nargs="+", default=[0, 1, 2, 3])
     p.add_argument("--model", type=str, required=True)
     p.add_argument("--outdir", type=str, default="sweep_out")
-    p.add_argument("--device", type=str, default=None, help="(ignored; XLA)")
+    p.add_argument("--device", type=str, default=None, help="JAX platform override (cpu/tpu); default: auto.")
     p.add_argument("--amp", action="store_true", help="(ignored; bf16)")
     p.add_argument("--seed", type=int, default=0)
 
@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
+    from ..utils.platform import maybe_force_platform
+    maybe_force_platform(args.device)
 
     from ..data.hdf5io import resolve_h5_path
     from ..evals.sweep import prep_samples, run_grid, run_random

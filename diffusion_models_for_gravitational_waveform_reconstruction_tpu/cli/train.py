@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
 
     # compatibility no-ops
-    p.add_argument("--device", type=str, default=None, help="(ignored; XLA)")
+    p.add_argument("--device", type=str, default=None, help="JAX platform override (cpu/tpu); default: auto.")
     p.add_argument("--num_workers", type=int, default=0, help="(ignored)")
     p.add_argument("--amp", action="store_true",
                    help="bf16 activations (TPU AMP analogue; default on — "
@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cosine_decay", type=int, default=1)
     p.add_argument("--min_lr_scale", type=float, default=0.1)
     p.add_argument("--whiten", type=int, default=0)
+    p.add_argument("--streaming", action="store_true",
+                   help="Lazy chunked HDF5 loading for larger-than-RAM "
+                        "datasets (bounded host memory).")
+    p.add_argument("--stream-chunk", type=int, default=512,
+                   help="Samples whitened/prepared per streaming chunk.")
     p.add_argument("--whiten_mode", choices=["auto", "model", "welch", "train"],
                    default="auto")
     p.add_argument("--sigma_mode", choices=["std", "mad", "fixed"], default="std")
@@ -125,11 +130,14 @@ def config_from_args(args) -> TrainConfig:
         debug_first=args.debug_first, debug_first_every=args.debug_first_every,
         init_from=args.init_from, save_every_epochs=args.save_every_epochs,
         resume=args.resume, profile_dir=args.profile_dir,
+        streaming=args.streaming, stream_chunk=args.stream_chunk,
     )
 
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
+    from ..utils.platform import maybe_force_platform
+    maybe_force_platform(args.device)
     train(config_from_args(args))
 
 

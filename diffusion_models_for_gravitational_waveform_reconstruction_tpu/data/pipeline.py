@@ -153,6 +153,50 @@ def next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
+def _resolve_whiten_mode(mode: str, has_model: bool, has_welch: bool) -> str:
+    """'auto' prefers model -> welch -> train (ref ``dataloader.py:168-188``)."""
+    if mode != "auto":
+        return mode
+    if has_model:
+        return "model"
+    if has_welch:
+        return "welch"
+    return "train"
+
+
+def _prep_sample(
+    y: np.ndarray,
+    x: np.ndarray,
+    fs: float,
+    *,
+    whiten: bool,
+    whiten_mode: str,                 # already resolved (not 'auto')
+    sigma_mode: str,
+    sigma_fixed: float,
+    psd_model: Optional[np.ndarray] = None,
+    psd_welch: Optional[np.ndarray] = None,
+    psd_welch_freqs: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """NaN guard -> whiten -> sigma for ONE sample (ref ``dataloader.py:153-200``).
+
+    Shared by the ahead-of-time dense path and the streaming path so the two
+    produce bit-identical samples."""
+    if not np.isfinite(y).all():
+        y = np.nan_to_num(y, nan=0.0, posinf=0.0, neginf=0.0)
+    if not np.isfinite(x).all():
+        x = np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+    if whiten:
+        if whiten_mode == "model" and psd_model is not None:
+            y, x, _ = whiten_model_np(y, x, psd_model, fs)
+        elif (whiten_mode == "welch" and psd_welch is not None
+              and psd_welch_freqs is not None):
+            y, x, _ = whiten_welch_np(y, x, psd_welch_freqs, psd_welch, fs)
+        else:
+            y, x, _ = whiten_train_like_np(y, x)
+    sigma = pick_sigma_np(y, sigma_mode, sigma_fixed)
+    return y, x, sigma
+
+
 @dataclasses.dataclass
 class PreparedDataset:
     """Whitened, padded, mask-carrying dense arrays, grouped by bucket length.
@@ -201,34 +245,19 @@ def prepare_dataset(
 
     per_bucket: Dict[int, Dict[str, list]] = {}
     n = raw["n"] if max_samples is None else min(raw["n"], int(max_samples))
+    mode = _resolve_whiten_mode(
+        whiten_mode, raw["psd_model"] is not None,
+        raw["psd_welch"] is not None and raw["psd_welch_freqs"] is not None)
     for i in range(n):
         y = raw["noisy"][i]
         x = raw["signal"][i] if raw["signal"] is not None else np.zeros_like(y)
-        # NaN/Inf guard (ref dataloader.py:162-165)
-        if not np.isfinite(y).all():
-            y = np.nan_to_num(y, nan=0.0, posinf=0.0, neginf=0.0)
-        if not np.isfinite(x).all():
-            x = np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
-
-        if whiten:
-            mode = whiten_mode
-            if mode == "auto":
-                if raw["psd_model"] is not None:
-                    mode = "model"
-                elif raw["psd_welch"] is not None and raw["psd_welch_freqs"] is not None:
-                    mode = "welch"
-                else:
-                    mode = "train"
-            if mode == "model" and raw["psd_model"] is not None:
-                y, x, _ = whiten_model_np(y, x, raw["psd_model"][i], fs)
-            elif (mode == "welch" and raw["psd_welch"] is not None
-                  and raw["psd_welch_freqs"] is not None):
-                y, x, _ = whiten_welch_np(y, x, raw["psd_welch_freqs"][i],
-                                          raw["psd_welch"][i], fs)
-            else:
-                y, x, _ = whiten_train_like_np(y, x)
-
-        sigma = pick_sigma_np(y, sigma_mode, sigma_fixed)
+        y, x, sigma = _prep_sample(
+            y, x, fs, whiten=whiten, whiten_mode=mode, sigma_mode=sigma_mode,
+            sigma_fixed=sigma_fixed,
+            psd_model=raw["psd_model"][i] if raw["psd_model"] is not None else None,
+            psd_welch=raw["psd_welch"][i] if raw["psd_welch"] is not None else None,
+            psd_welch_freqs=(raw["psd_welch_freqs"][i]
+                             if raw["psd_welch_freqs"] is not None else None))
 
         if include_metadata:
             def _get(name):
@@ -317,8 +346,231 @@ def dataset_from_arrays(
     )
 
 
+class StreamingDataset:
+    """Larger-than-RAM HDF5 path: lazy per-chunk loading + whitening.
+
+    The dense ``prepare_dataset`` pulls the whole file into host memory
+    (fine at 10k samples, a wall at population scale — the reference
+    streams per item with lazy SWMR handles, ``dataloader.py:65-101``).
+    This class keeps only ``chunk`` samples' worth of prepared arrays live
+    at a time:
+
+    - one cheap init scan reads ``lengths`` + scalar metadata (KB-scale) and
+      assigns every sample to a static power-of-two length bucket;
+    - iteration loads/whitens one chunk of samples at a time through the
+      SAME ``_prep_sample`` math as the dense path (bit-identical batches),
+      with a small LRU of prepared chunks (the ahead-of-time whitening
+      cache, per chunk instead of per dataset);
+    - shuffling is two-level (chunk order, then within-chunk) so random
+      epochs stay IO-local.
+
+    Duck-types the ``PreparedDataset`` surface the trainer uses
+    (``bucket_lengths``/``meta_scale``/``n``/``fs`` + ``iter_batches``/
+    ``num_batches``/``c_meta``).
+    """
+
+    def __init__(
+        self,
+        h5_path: str,
+        *,
+        whiten: bool = False,
+        whiten_mode: str = "auto",
+        sigma_mode: str = "std",
+        sigma_fixed: float = 1.0,
+        include_metadata: bool = True,
+        mass_scale: Optional[float] = None,
+        bucket_lengths: Optional[List[int]] = None,
+        allow_no_signal: bool = False,
+        max_samples: Optional[int] = None,
+        chunk: int = 512,
+        cache_chunks: int = 2,
+    ):
+        import h5py
+
+        self.path = hdf5io.resolve_h5_path(h5_path)
+        self.whiten = whiten
+        self.sigma_mode = sigma_mode
+        self.sigma_fixed = sigma_fixed
+        self.include_metadata = include_metadata
+        self.chunk = int(chunk)
+        self.cache_chunks = int(cache_chunks)
+        self.meta_scale = hdf5io.compute_meta_scale(self.path)
+        self.M = float(mass_scale if mass_scale is not None
+                       else self.meta_scale.get("M", 80.0))
+        self.c_meta = 4 if include_metadata else 0
+        self._cache: "dict[tuple, Dict[str, np.ndarray]]" = {}
+        self._cache_order: list = []
+        self.peak_live_samples = 0  # observability: max prepared samples held
+
+        with h5py.File(self.path, "r") as f:
+            if "noisy" not in f:
+                raise KeyError("HDF5 must have 'noisy' dataset")
+            n_total = f["noisy"].shape[0]
+            if "signal" not in f and not allow_no_signal:
+                raise KeyError("missing 'signal' dataset (allow_no_signal=False)")
+            self._has_signal = "signal" in f
+            self.fs = hdf5io.read_sampling_rate(f)
+            if "lengths" in f:
+                lengths = np.asarray(f["lengths"][:], np.int64)
+            else:  # schema tolerance: derive from the vlen rows
+                lengths = np.array([len(r) for r in f["noisy"][:]], np.int64)
+            has_model = ("psd_model" in f) or ("psd" in f)
+            self._psd_key = "psd_model" if "psd_model" in f else (
+                "psd" if "psd" in f else None)
+            has_welch = ("psd_welch" in f) and ("psd_welch_freqs" in f)
+            self.whiten_mode = _resolve_whiten_mode(whiten_mode, has_model,
+                                                    has_welch)
+            # scalar metadata: tiny, load eagerly
+            self._meta_cols = {}
+            for k in ("mass1", "mass2", "spin1z", "spin2z"):
+                self._meta_cols[k] = (np.asarray(f[k][:], np.float64)
+                                      if k in f else None)
+
+        n = n_total if max_samples is None else min(n_total, int(max_samples))
+        self.n = int(n)
+        lengths = lengths[:n]
+
+        # bucket assignment; each bucket's indices are kept SORTED so chunks
+        # are contiguous ranges of the file (sequential reads)
+        self._bucket_idx: Dict[int, np.ndarray] = {}
+        if bucket_lengths is not None:
+            bl_sorted = sorted(bucket_lengths)
+            Lb_of = np.empty(n, np.int64)
+            for i, L in enumerate(lengths):
+                fits = [b for b in bl_sorted if b >= L]
+                if not fits:
+                    raise ValueError(
+                        f"sample length {L} exceeds all bucket lengths")
+                Lb_of[i] = fits[0]
+        else:
+            Lb_of = np.array([next_pow2(int(L)) for L in lengths], np.int64)
+        for Lb in np.unique(Lb_of):
+            self._bucket_idx[int(Lb)] = np.nonzero(Lb_of == Lb)[0]
+
+    @property
+    def bucket_lengths(self) -> List[int]:
+        return sorted(self._bucket_idx.keys())
+
+    def num_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
+        total = 0
+        for Lb in self.bucket_lengths:
+            N = len(self._bucket_idx[Lb])
+            total += (N // batch_size if drop_remainder
+                      else -(-N // batch_size))
+        return total
+
+    # -- chunked loading ---------------------------------------------------
+
+    def _load_chunk(self, Lb: int, ci: int) -> Dict[str, np.ndarray]:
+        """Prepare (whiten/sigma/meta/pad) one chunk of bucket ``Lb``."""
+        key = (Lb, ci)
+        if key in self._cache:
+            return self._cache[key]
+        import h5py
+
+        idx = self._bucket_idx[Lb][ci * self.chunk:(ci + 1) * self.chunk]
+        cols: Dict[str, list] = {"clean": [], "noisy": [], "mask": [],
+                                 "sigma": [], "meta": [], "index": []}
+        with h5py.File(self.path, "r") as f:
+            noisy_ds = f["noisy"]
+            sig_ds = f["signal"] if self._has_signal else None
+            psd_ds = f[self._psd_key] if self._psd_key else None
+            pw_ds = f["psd_welch"] if "psd_welch" in f else None
+            pwf_ds = f["psd_welch_freqs"] if "psd_welch_freqs" in f else None
+            for i in idx:
+                y = np.asarray(noisy_ds[i], np.float32)
+                x = (np.asarray(sig_ds[i], np.float32) if sig_ds is not None
+                     else np.zeros_like(y))
+                y, x, sigma = _prep_sample(
+                    y, x, self.fs, whiten=self.whiten,
+                    whiten_mode=self.whiten_mode, sigma_mode=self.sigma_mode,
+                    sigma_fixed=self.sigma_fixed,
+                    psd_model=(np.asarray(psd_ds[i], np.float64)
+                               if psd_ds is not None else None),
+                    psd_welch=(np.asarray(pw_ds[i], np.float64)
+                               if pw_ds is not None else None),
+                    psd_welch_freqs=(np.asarray(pwf_ds[i], np.float64)
+                                     if pwf_ds is not None else None))
+                if self.include_metadata:
+                    def _get(name, i=i):
+                        col = self._meta_cols.get(name)
+                        return float(col[i]) if col is not None else 0.0
+
+                    meta = np.array([_get("mass1") / max(self.M, 1e-9),
+                                     _get("mass2") / max(self.M, 1e-9),
+                                     _get("spin1z"), _get("spin2z")],
+                                    np.float32)
+                else:
+                    meta = np.zeros(0, np.float32)
+                L = len(y)
+                pad = Lb - L
+                cols["clean"].append(np.pad(x.astype(np.float32), (pad, 0)))
+                cols["noisy"].append(np.pad(y.astype(np.float32), (pad, 0)))
+                cols["mask"].append(np.pad(np.ones(L, np.float32), (pad, 0)))
+                cols["sigma"].append(sigma)
+                cols["meta"].append(meta)
+                cols["index"].append(int(i))
+
+        out = {
+            "clean": np.stack(cols["clean"])[:, None, :],
+            "noisy": np.stack(cols["noisy"])[:, None, :],
+            "mask": np.stack(cols["mask"])[:, None, :],
+            "sigma": np.asarray(cols["sigma"], np.float32),
+            "meta": (np.stack(cols["meta"]) if self.include_metadata
+                     else np.zeros((len(idx), 0), np.float32)),
+            "index": np.asarray(cols["index"], np.int64),
+        }
+        self._cache[key] = out
+        self._cache_order.append(key)
+        while len(self._cache_order) > self.cache_chunks:
+            old = self._cache_order.pop(0)
+            self._cache.pop(old, None)
+        live = sum(v["sigma"].shape[0] for v in self._cache.values())
+        self.peak_live_samples = max(self.peak_live_samples, live)
+        return out
+
+    def iter_batches(
+        self,
+        batch_size: int,
+        rng: np.random.Generator,
+        shuffle: bool = True,
+        drop_remainder: bool = False,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Static-shape batches, two-level shuffled, bounded memory."""
+        plans = []  # (Lb, chunk order) per bucket
+        for Lb in self.bucket_lengths:
+            N = len(self._bucket_idx[Lb])
+            n_chunks = -(-N // self.chunk)
+            order = (rng.permutation(n_chunks) if shuffle
+                     else np.arange(n_chunks))
+            plans.append((Lb, order))
+        if shuffle:
+            rng.shuffle(plans)
+        for Lb, chunk_order in plans:
+            pool: Optional[Dict[str, np.ndarray]] = None
+            for ci in chunk_order:
+                c = self._load_chunk(Lb, int(ci))
+                if shuffle:
+                    perm = rng.permutation(c["sigma"].shape[0])
+                    c = {k: v[perm] for k, v in c.items()}
+                pool = (c if pool is None else
+                        {k: np.concatenate([pool[k], c[k]]) for k in c})
+                while pool["sigma"].shape[0] >= batch_size:
+                    yield {k: v[:batch_size] for k, v in pool.items()}
+                    pool = {k: v[batch_size:] for k, v in pool.items()}
+            n_left = pool["sigma"].shape[0] if pool is not None else 0
+            if n_left and not drop_remainder:
+                # wrap-fill the tail to keep shapes static (dense-path rule)
+                first = self._load_chunk(Lb, int(chunk_order[0]))
+                fill = batch_size - n_left
+                reps = -(-fill // first["sigma"].shape[0])
+                yield {k: np.concatenate(
+                    [pool[k]] + [first[k]] * reps)[:batch_size]
+                    for k in pool}
+
+
 def iterate_batches(
-    ds: PreparedDataset,
+    ds,
     batch_size: int,
     rng: np.random.Generator,
     shuffle: bool = True,
@@ -328,8 +580,13 @@ def iterate_batches(
 
     To keep batch shapes static (one compile per bucket length), a trailing
     partial batch is filled by wrapping around within its bucket unless
-    ``drop_remainder``.
+    ``drop_remainder``.  Streaming datasets dispatch to their own bounded-
+    memory iterator.
     """
+    if hasattr(ds, "iter_batches"):
+        yield from ds.iter_batches(batch_size, rng, shuffle=shuffle,
+                                   drop_remainder=drop_remainder)
+        return
     order = []
     for Lb in ds.bucket_lengths:
         N = ds.buckets[Lb]["sigma"].shape[0]
@@ -451,8 +708,16 @@ def prefetch_to_device(batch_iter, size: int = 2, sharding=None):
         yield queue.popleft()
 
 
-def num_batches(ds: PreparedDataset, batch_size: int,
-                drop_remainder: bool = False) -> int:
+def meta_dim(ds) -> int:
+    """Number of metadata channels for either dataset flavour."""
+    if hasattr(ds, "c_meta"):
+        return int(ds.c_meta)
+    return int(ds.buckets[ds.bucket_lengths[0]]["meta"].shape[1])
+
+
+def num_batches(ds, batch_size: int, drop_remainder: bool = False) -> int:
+    if hasattr(ds, "num_batches"):
+        return ds.num_batches(batch_size, drop_remainder)
     total = 0
     for Lb in ds.bucket_lengths:
         N = ds.buckets[Lb]["sigma"].shape[0]

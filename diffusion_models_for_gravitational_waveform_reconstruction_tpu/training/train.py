@@ -115,6 +115,10 @@ class TrainConfig:
     whiten_mode: str = "auto"
     sigma_mode: str = "std"
     sigma_fixed: float = 1.0
+    streaming: bool = False             # lazy chunked HDF5 loading (larger-
+                                        # than-RAM datasets); see
+                                        # data.pipeline.StreamingDataset
+    stream_chunk: int = 512             # samples prepared per chunk
 
     # compute
     bf16: bool = True                   # bf16 activations (TPU-native AMP)
@@ -244,13 +248,24 @@ def make_train_step(
 
         k_t, k_q, k_drop, k_sc_coin, k_sc = jax.random.split(key, 5)
         t_max = cfg.T - 1
-        if cfg.t_cover == "strat":
+        # determinism fixture (SURVEY.md §5.2): parity tests inject the exact
+        # (t, eps) the reference trainer consumed; production batches don't
+        # carry these keys, so the trace is unchanged there.
+        if "t_inject" in batch:
+            t = batch["t_inject"].astype(jnp.int32)
+        elif cfg.t_cover == "strat":
             t = sample_timesteps_stratified(k_t, bsz_eff, t_min, t_max, cfg.t_bins)
         else:
             u = jax.random.uniform(k_t, (bsz_eff,))
             t = (t_min + jnp.floor(u * (cfg.T - t_min))).astype(jnp.int32)
 
-        x_t, eps = q_sample(schedule, clean_norm, t, k_q)
+        if "eps_inject" in batch:
+            from ..ops.diffusion import q_sample_with_eps
+
+            eps = batch["eps_inject"].astype(jnp.float32)
+            x_t = q_sample_with_eps(schedule, clean_norm, t, eps)
+        else:
+            x_t, eps = q_sample(schedule, clean_norm, t, k_q)
         if cfg.clamp_inputs > 0:
             x_t = jnp.clip(x_t, -cfg.clamp_inputs, cfg.clamp_inputs)
 
@@ -415,10 +430,18 @@ def build_model_and_state(
     params = model.init(key, x0, jnp.zeros((1,), jnp.int32))
 
     if cfg.init_from:
-        ckpt = load_checkpoint(cfg.init_from)
-        weights, used_ema = select_weights(ckpt, use_ema=True)
-        params = restore_params(params, weights)
-        print(f"[init] loaded weights from {cfg.init_from} (EMA={used_ema})")
+        if cfg.init_from.endswith((".pth", ".pt")):
+            # reference-framework interop: warm-start directly from a torch
+            # checkpoint (ref train.py:258-262 loads .pth the same way)
+            from .. utils.torch_compat import load_torch_checkpoint_as_flax
+
+            params = load_torch_checkpoint_as_flax(cfg.init_from, cfg.depth)
+            print(f"[init] loaded torch weights from {cfg.init_from} (EMA preferred)")
+        else:
+            ckpt = load_checkpoint(cfg.init_from)
+            weights, used_ema = select_weights(ckpt, use_ema=True)
+            params = restore_params(params, weights)
+            print(f"[init] loaded weights from {cfg.init_from} (EMA={used_ema})")
 
     optimizer, lr_sched = make_optimizer(cfg, total_steps)
     opt_state = optimizer.init(params)
@@ -473,6 +496,14 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
             dataset = dpipe.synthetic_dataset(
                 n_synth, seed=cfg.seed, whiten=cfg.whiten,
                 sigma_mode=cfg.sigma_mode)
+        elif cfg.streaming:
+            meta_scale = compute_meta_scale(cfg.data)
+            dataset = dpipe.StreamingDataset(
+                cfg.data, whiten=cfg.whiten, whiten_mode=cfg.whiten_mode,
+                sigma_mode=cfg.sigma_mode, sigma_fixed=cfg.sigma_fixed,
+                include_metadata=True, mass_scale=meta_scale.get("M", 80.0),
+                chunk=cfg.stream_chunk,
+            )
         else:
             meta_scale = compute_meta_scale(cfg.data)
             dataset = dpipe.prepare_dataset(
@@ -482,8 +513,7 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
             )
     meta_scale = dataset.meta_scale
 
-    first_bucket = dataset.buckets[dataset.bucket_lengths[0]]
-    c_meta = int(first_bucket["meta"].shape[1])
+    c_meta = dpipe.meta_dim(dataset)
     n_batches = dpipe.num_batches(dataset, cfg.batch_size)
     total_steps = n_batches * cfg.epochs
 
