@@ -95,6 +95,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
     from ..utils.platform import maybe_force_platform
     maybe_force_platform(args.device)
+    from ..parallel.mesh import multihost_init
+    multihost_init()
 
     import h5py
 

@@ -97,6 +97,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
     from ..utils.platform import maybe_force_platform
     maybe_force_platform(args.device)
+    from ..parallel.mesh import multihost_init
+    multihost_init()
     if (args.input_h5 is None) == (args.input_npy is None):
         raise SystemExit("provide exactly one of --input-h5 / --input-npy")
 

@@ -74,6 +74,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
     from ..utils.platform import maybe_force_platform
     maybe_force_platform(args.device)
+    from ..parallel.mesh import multihost_init
+    multihost_init()
 
     from ..data.hdf5io import resolve_h5_path
     from ..evals.sweep import prep_samples, run_grid, run_random

@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--probe-interval", type=int, default=50)
     p.add_argument("--debug_first", action="store_true")
     p.add_argument("--debug_first_every", type=int, default=0)
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel mesh axis size (conv output "
+                        "channels sharded via GSPMD).")
     p.add_argument("--no-data-parallel", action="store_true",
                    help="Disable batch sharding over the device mesh.")
     p.add_argument("--remat", action="store_true",
@@ -131,6 +134,7 @@ def config_from_args(args) -> TrainConfig:
         init_from=args.init_from, save_every_epochs=args.save_every_epochs,
         resume=args.resume, profile_dir=args.profile_dir,
         streaming=args.streaming, stream_chunk=args.stream_chunk,
+        tp=args.tp,
     )
 
 

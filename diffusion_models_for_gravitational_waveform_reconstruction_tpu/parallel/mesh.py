@@ -74,3 +74,32 @@ def replicate_tree(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def _tp_spec(mesh: Mesh, path, leaf, min_ch: int = 16) -> NamedSharding:
+    """Tensor-parallel PartitionSpec for one U-Net param leaf.
+
+    Conv kernels/biases in the encoder/decoder/mid stages are sharded over
+    the OUTPUT-channel dimension (their last axis in flax layout) across the
+    ``model`` mesh axis; GSPMD then partitions each conv's output channels
+    and inserts the boundary collectives.  Small leaves (time-embed MLPs,
+    norms, heads below ``min_ch`` channels) stay replicated — sharding them
+    would cost more in collectives than it saves.
+    """
+    n_model = mesh.shape["model"]
+    names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+    if (n_model > 1 and leaf.ndim >= 1 and leaf.shape[-1] % n_model == 0
+            and leaf.shape[-1] >= min_ch
+            and any(n.startswith(("enc", "dec", "mid")) for n in names)):
+        return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["model"])))
+    return NamedSharding(mesh, P())
+
+
+def shard_params_tp(params, mesh: Mesh, min_ch: int = 16):
+    """device_put a params/EMA pytree with the tensor-parallel rule above.
+
+    With ``model`` axis size 1 this degenerates to plain replication, so the
+    trainer can call it unconditionally."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(x, _tp_spec(mesh, path, x, min_ch)),
+        params)

@@ -123,6 +123,9 @@ class TrainConfig:
     # compute
     bf16: bool = True                   # bf16 activations (TPU-native AMP)
     data_parallel: bool = True          # shard batch over the mesh
+    tp: int = 1                         # tensor-parallel ('model' mesh axis)
+                                        # size: conv output channels sharded
+                                        # via GSPMD (parallel/mesh.py)
     remat: bool = False                 # jax.checkpoint the forward: trade
                                         # FLOPs for activation memory (the
                                         # 16 kHz batch-512 config needs it)
@@ -479,6 +482,10 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
     from ..data.hdf5io import compute_meta_scale
     from ..parallel import mesh as pmesh
 
+    # multi-host pods: no-op unless coordinator env vars are present, so the
+    # same entry point serves dev boxes and pod slices (SURVEY.md §5.8)
+    pmesh.multihost_init()
+
     t_run0 = time.time()
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
@@ -552,14 +559,25 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
               f"(global step {step_restored})")
 
     if mesh is None and cfg.data_parallel and len(jax.devices()) > 1:
-        if cfg.batch_size % len(jax.devices()) == 0:
-            mesh = pmesh.make_mesh()
+        n_model = max(1, int(cfg.tp))
+        n_data = len(jax.devices()) // n_model
+        if n_data >= 1 and cfg.batch_size % max(1, n_data) == 0:
+            mesh = pmesh.make_mesh(n_data=n_data, n_model=n_model)
         else:
             print(f"[train] batch_size={cfg.batch_size} not divisible by "
-                  f"{len(jax.devices())} devices; running without DP sharding")
+                  f"{n_data} data-parallel devices; running without sharding")
     if mesh is not None:
-        state = TrainState(*[pmesh.replicate_tree(x, mesh) for x in state[:3]],
-                           step=state.step)
+        tp_on = "model" in mesh.shape and mesh.shape["model"] > 1
+        state = TrainState(
+            params=pmesh.shard_params_tp(state.params, mesh),
+            ema_params=pmesh.shard_params_tp(state.ema_params, mesh),
+            # optimizer state stays replicated: adamw's mu/nu mirror the
+            # params and XLA re-shards them after the first update; scalars
+            # (count) must be replicated anyway
+            opt_state=pmesh.replicate_tree(state.opt_state, mesh),
+            step=state.step)
+        print(f"[train] mesh {dict(mesh.shape)}"
+              + (" (tensor-parallel conv channels)" if tp_on else ""))
 
     if cfg.t_min_frac > 0:
         # reference default is 0.5 (train.py:651) — kept for flag parity,

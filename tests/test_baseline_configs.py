@@ -105,3 +105,41 @@ def test_config3_attention_long_segment_ddim():
                      jax.random.PRNGKey(2), cfg)
     assert x0.shape == (1, 1, L)
     assert np.isfinite(np.asarray(x0)).all()
+
+
+def test_config4_16khz_batch512_dp_mechanics(tmp_path):
+    """BASELINE config 4 (16 kHz segments, batch 512, DP on a v5e-8) at toy
+    scale: attention U-Net + remat + DP sharding over the 8-device mesh.
+    The sharded program must compile, run, and match the unsharded losses.
+    (Real-hardware 16 kHz run recorded in RESULTS.md; this covers the DP
+    composition explicitly.)"""
+    import jax
+    import numpy as np
+    import pytest
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.pipeline import (
+        dataset_from_arrays,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.training.train import (
+        TrainConfig, train,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device test mesh")
+
+    rng = np.random.default_rng(0)
+    # toy stand-ins: L=512 for the 16 kHz segment, batch 16 for 512
+    clean = rng.normal(size=(32, 512)).astype(np.float32)
+    noisy = clean + rng.normal(size=(32, 512)).astype(np.float32)
+
+    base = dict(epochs=1, batch_size=16, base_ch=8, time_dim=16, depth=2,
+                T=20, warmup_steps=2, bf16=False, seed=7,
+                use_attention=True, remat=True)
+    ds1 = dataset_from_arrays(clean, noisy, fs=16384.0)
+    out1 = train(TrainConfig(model_dir=str(tmp_path / "a"),
+                             data_parallel=False, **base), dataset=ds1)
+    ds2 = dataset_from_arrays(clean, noisy, fs=16384.0)
+    out2 = train(TrainConfig(model_dir=str(tmp_path / "b"),
+                             data_parallel=True, **base), dataset=ds2)
+    np.testing.assert_allclose(
+        [h["avg_per_sample"] for h in out2["history"]],
+        [h["avg_per_sample"] for h in out1["history"]], rtol=1e-4)
