@@ -180,11 +180,18 @@ def main(argv: Optional[List[str]] = None) -> None:
     if diag is not None and args.log_jsonl:
         n_steps = len(diag["t"])
         for i in range(0, n_steps, max(1, args.log_interval)):
-            logger.log({"phase": "ddim_step", "i": int(i),
-                        "t": int(diag["t"][i]),
-                        "alpha_bar": float(diag["alpha_bar"][i]),
-                        "cfg_w": float(diag["cfg_w"][i]),
-                        "xcorr_vs_y": float(np.asarray(diag["corr"][i]).ravel()[0])})
+            rec = {"phase": "ddim_step", "i": int(i),
+                   "t": int(diag["t"][i]),
+                   "alpha_bar": float(diag["alpha_bar"][i]),
+                   "cfg_w": float(diag["cfg_w"][i]),
+                   "xcorr_vs_y": float(np.asarray(diag["corr"][i]).ravel()[0])}
+            if "xcorr_lag" in diag:
+                # lag-corrected xcorr vs y + the winning lag in samples
+                # (ref inference.py:491-512 'corr_lag')
+                rec["xcorr_lag"] = float(
+                    np.asarray(diag["xcorr_lag"][i]).ravel()[0])
+                rec["lag"] = int(np.asarray(diag["lag"][i]).ravel()[0])
+            logger.log(rec)
 
     np.save(os.path.join(args.outdir, f"recon_{tag}.npy"), x0_raw)
     np.save(os.path.join(args.outdir, f"measurement_{tag}.npy"), prep["y_raw"])

@@ -80,6 +80,28 @@ class SamplerConfig:
     # thresholding, standard diffusion practice); 0 disables.
     clamp_inputs: float = 10.0
     x0_clip: float = 10.0
+    # diagnostics: max |lag| (samples) for the per-step lag-corrected xcorr
+    # vs y (ref inference.py:491-512 uses 0.25 s; 1024 samples at 4096 Hz).
+    # 0 -> min(L-1, 1024).  Only used when collect_diagnostics=True.
+    diag_max_shift: int = 0
+
+
+def lagged_xcorr(a: jnp.ndarray, b: jnp.ndarray, max_shift: int):
+    """Normalised lag-corrected cross-correlation, batched, on device.
+
+    ``a``, ``b``: (B, L) mean-removed rows.  Returns (xcorr (B,), lag (B,))
+    where xcorr = max_{|k|<=max_shift} sum_i a[i] b[i+k] / (||a|| ||b||).
+    One FFT cross-correlation replaces the reference's O(L*max_shift) host
+    loop per logged step (``inference.py:247-262``, ``491-512``).
+    """
+    L = a.shape[1]
+    nfft = 1 << int(2 * L - 1).bit_length()
+    cc = jnp.fft.irfft(jnp.fft.rfft(a, nfft) * jnp.conj(jnp.fft.rfft(b, nfft)),
+                       nfft)
+    lags = jnp.arange(-max_shift, max_shift + 1)
+    vals = cc[:, (-lags) % nfft]                  # v(k) = sum a[i] b[i+k]
+    denom = jnp.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1)) + 1e-30
+    return vals.max(axis=1) / denom, lags[jnp.argmax(vals, axis=1)]
 
 
 def _make_uncond(cond_used: jnp.ndarray, drop_y_only: bool) -> jnp.ndarray:
@@ -236,7 +258,17 @@ def ddim_sample(
             b = y_chan.reshape(B, -1) - y_chan.reshape(B, -1).mean(axis=1, keepdims=True)
             corr = (a * b).sum(axis=1) / (
                 jnp.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1)) + 1e-30)
+            # lag-corrected xcorr vs y (ref inference.py:491-512): the
+            # reference brute-forces O(L*maxshift) integer lags on the HOST
+            # each logged step; here the full lag window is one on-device
+            # FFT cross-correlation inside the scan (static shapes), and the
+            # normalisation is global (||a||*||b||) rather than the
+            # reference's per-overlap Pearson renormalisation.
+            ms = cfg.diag_max_shift if cfg.diag_max_shift > 0 else min(
+                a.shape[1] - 1, 1024)
+            xl, lag = lagged_xcorr(a, b, ms)
             diag = {"t": s["t"], "alpha_bar": ab_t, "cfg_w": s["w"], "corr": corr,
+                    "xcorr_lag": xl, "lag": lag,
                     "x_rms": jnp.sqrt(jnp.mean(x_next ** 2, axis=(1, 2))),
                     "x0_rms": jnp.sqrt(jnp.mean(x0_hat ** 2, axis=(1, 2))),
                     "eps_rms": jnp.sqrt(jnp.mean(eps_hat ** 2, axis=(1, 2)))}

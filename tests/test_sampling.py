@@ -153,3 +153,29 @@ def test_cfg_guided_combination(sched):
     out = ddim_sample(model_fn, {}, sched, cond, jax.random.PRNGKey(0), cfg)
     # out_c = 1, out_u = 0 -> guided x0 = w = 2.0 everywhere
     np.testing.assert_allclose(np.asarray(out), w, rtol=1e-5)
+
+
+def test_lagged_xcorr_matches_host_and_finds_shift():
+    """On-device lag-corrected xcorr (the ddim_step JSONL diagnostic,
+    ref inference.py:491-512) recovers a known integer shift and agrees with
+    the host FFT lag search in evals.metrics."""
+    import numpy as np
+    import jax.numpy as jnp
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.sampling import (
+        lagged_xcorr,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.evals.metrics import (
+        best_lag_xcorr,
+    )
+
+    rng = np.random.default_rng(0)
+    L, shift = 512, 37
+    base = rng.normal(size=L + 100)
+    a = base[100:100 + L].copy()          # a[i] = base[100+i]
+    b = base[100 - shift:100 - shift + L].copy()  # b[i+shift] ~ a[i]
+    a -= a.mean(); b -= b.mean()
+
+    xl, lag = lagged_xcorr(jnp.asarray(a[None]), jnp.asarray(b[None]), 64)
+    lag = int(lag[0])
+    assert lag == best_lag_xcorr(a, b, 64) == shift
+    assert 0.7 < float(xl[0]) <= 1.0 + 1e-6
