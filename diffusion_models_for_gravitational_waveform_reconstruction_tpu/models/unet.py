@@ -135,6 +135,58 @@ class ConvBlock(nn.Module):
         return nn.silu(h)
 
 
+class DecoderConvBlock(nn.Module):
+    """Decoder stage ``conv3(concat(nearest_up2(h), skip)) -> GN -> SiLU``
+    WITHOUT materialising the upsample or the concat (ref semantics
+    ``models.py:216-221`` + ``models.py:154-167``).
+
+    Algebraic decomposition (exactly the same math, fewer bytes + FLOPs):
+
+    - ``conv(concat(a, b); W) == conv(a; W[:, :Ca]) + conv(b; W[:, Ca:])``
+      — the (L, C_h + C_s) concat buffer never hits HBM;
+    - nearest x2 upsample folds INTO the conv: with u = repeat(h, 2),
+      ``out[2j]   = W0 u[2j-1] + W1 u[2j] + W2 u[2j+1] = W0 h[j-1] + (W1+W2) h[j]``
+      ``out[2j+1] = W0 u[2j]  + W1 u[2j+1] + W2 u[2j+2] = (W0+W1) h[j] + W2 h[j+1]``
+      so the h-branch is two k=2 convs at HALF length (2/3 of the FLOPs of
+      convolving the upsampled signal) interleaved — and the upsampled
+      (L, C_h) buffer never exists.
+
+    Parameter tree is IDENTICAL to ``ConvBlock`` (``conv/kernel`` of shape
+    (3, C_h + C_s, out), ``conv/bias``, ``norm/scale|bias``), so checkpoints
+    are interchangeable between the two paths.
+    """
+
+    out_ch: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, h_low: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        C_h, C_s = h_low.shape[-1], skip.shape[-1]
+        W, cb = _ConvParams(C_h + C_s, self.out_ch, 3, name="conv")()
+        dt = self.dtype or W.dtype
+        W = W.astype(dt)
+        hb = h_low.astype(dt)
+        sk = skip.astype(dt)
+        dn = ("NHC", "HIO", "NHC")
+
+        y_s = jax.lax.conv_general_dilated(
+            sk, W[:, C_h:], (1,), "SAME", dimension_numbers=dn)
+        W_h = W[:, :C_h]
+        W_even = jnp.stack([W_h[0], W_h[1] + W_h[2]])          # (2, C_h, out)
+        W_odd = jnp.stack([W_h[0] + W_h[1], W_h[2]])
+        y_e = jax.lax.conv_general_dilated(
+            hb, W_even, (1,), [(1, 0)], dimension_numbers=dn)
+        y_o = jax.lax.conv_general_dilated(
+            hb, W_odd, (1,), [(0, 1)], dimension_numbers=dn)
+        B, Lh, Co = y_e.shape
+        y_h = jnp.stack([y_e, y_o], axis=2).reshape(B, 2 * Lh, Co)
+
+        h = y_h + y_s + cb.astype(dt)
+        h = nn.GroupNorm(num_groups=_num_groups(self.out_ch), epsilon=1e-5,
+                         dtype=self.dtype, name="norm")(h)
+        return nn.silu(h)
+
+
 class BottleneckAttention(nn.Module):
     """Pre-norm multi-head self-attention over the sequence axis (extension).
 
@@ -246,6 +298,9 @@ class UNet1D(nn.Module):
     attn_heads: int = 4
     dtype: Optional[jnp.dtype] = None    # compute dtype (bf16 on TPU); params f32
     use_pallas: bool = False             # Pallas-fused GN+SiLU / flash attention
+    fast_decoder: bool = True            # algebraic upsample+concat+conv
+                                         # decomposition (DecoderConvBlock);
+                                         # identical math, fewer HBM bytes
 
     def _layout(self):
         use_sc = self.use_selfcond
@@ -320,11 +375,18 @@ class UNet1D(nn.Module):
         # ---------------- decoder ----------------
         for i, skip_ch in enumerate(reversed(chs)):
             skip = skips[-(i + 1)]
-            h = jnp.repeat(h, 2, axis=1)           # nearest x2 (ref models.py:127)
-            h = _fix_len(h, skip.shape[1])
-            h = jnp.concatenate([h, skip], axis=-1)
-            h = ConvBlock(skip_ch, self.kernel, dtype=self.dtype,
-                          use_pallas=self.use_pallas, name=f"dec{i}")(h)
+            if (self.fast_decoder and not self.use_pallas and self.kernel == 3
+                    and h.shape[1] * 2 == skip.shape[1]):
+                # fused-by-algebra path: upsample + concat folded into the
+                # conv (DecoderConvBlock); same params, same math
+                h = DecoderConvBlock(skip_ch, dtype=self.dtype,
+                                     name=f"dec{i}")(h, skip)
+            else:
+                h = jnp.repeat(h, 2, axis=1)       # nearest x2 (ref models.py:127)
+                h = _fix_len(h, skip.shape[1])
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ConvBlock(skip_ch, self.kernel, dtype=self.dtype,
+                              use_pallas=self.use_pallas, name=f"dec{i}")(h)
             h = cond_bias(h, f"cond_dec{i}")
             h = film(h, f"tproj_dec{i}")
 

@@ -427,13 +427,19 @@ def one_step_proxy(
         if cond_stack.shape[1] > 1 else y_used
     )
 
-    out_c = model_fn(params, _net_in(x_t, cond_used, sc, cfg.use_selfcond), t_b)
     if cfg.cfg_scale != 1.0:
+        # cond + uncond as ONE batched forward (2B) — same idiom as the
+        # samplers, instead of two sequential B-sized calls
         cond_u = _make_uncond(cond_used, cfg.drop_y_only)
-        out_u = model_fn(params, _net_in(x_t, cond_u, sc, cfg.use_selfcond), t_b)
+        net2 = jnp.concatenate(
+            [_net_in(x_t, cond_used, sc, cfg.use_selfcond),
+             _net_in(x_t, cond_u, sc, cfg.use_selfcond)], axis=0)
+        out2 = model_fn(params, net2, jnp.concatenate([t_b, t_b]))
+        out_c, out_u = out2[:B], out2[B:]
         out = out_u + cfg.cfg_scale * (out_c - out_u)
     else:
-        out = out_c
+        out = model_fn(params, _net_in(x_t, cond_used, sc, cfg.use_selfcond),
+                       t_b)
 
     if cfg.pred_type == "eps":
         eps_hat = cfg.eps_scale * out

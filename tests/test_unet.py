@@ -147,3 +147,30 @@ def test_unet_channels_last_consistency():
     np.testing.assert_allclose(
         np.asarray(out_cf), np.asarray(jnp.transpose(out_cl, (0, 2, 1))),
         rtol=1e-5, atol=1e-6)
+
+
+def test_fast_decoder_matches_plain():
+    """DecoderConvBlock's algebraic upsample+concat+conv decomposition is
+    numerically equivalent to the materialised path on the SAME params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models.unet import (
+        UNet1D,
+    )
+
+    rng = np.random.default_rng(0)
+    for in_ch, cond, L in [(7, 5, 512), (3, 1, 384), (1, 0, 256)]:
+        fast = UNet1D(in_ch=in_ch, base_ch=16, time_dim=32, depth=3,
+                      cond_in_ch=cond, use_selfcond=(in_ch >= 3),
+                      fast_decoder=True)
+        plain = UNet1D(in_ch=in_ch, base_ch=16, time_dim=32, depth=3,
+                       cond_in_ch=cond, use_selfcond=(in_ch >= 3),
+                       fast_decoder=False)
+        x = jnp.asarray(rng.normal(size=(2, in_ch, L)).astype(np.float32))
+        t = jnp.asarray([3, 40])
+        params = fast.init(jax.random.PRNGKey(0), x, t)
+        # same param tree must be accepted by both paths
+        y_f = np.asarray(fast.apply(params, x, t))
+        y_p = np.asarray(plain.apply(params, x, t))
+        np.testing.assert_allclose(y_f, y_p, rtol=2e-5, atol=1e-6)
