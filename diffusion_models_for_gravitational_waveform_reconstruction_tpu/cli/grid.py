@@ -30,6 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = p.add_argument_group("Sampler knobs (override --from-sweep)")
     s.add_argument("--steps", type=int, default=200)
+    s.add_argument("--sampler", choices=["ddim", "ddpm", "dpmpp"],
+                   default="ddim")
     s.add_argument("--eta", type=float, default=0.0)
     s.add_argument("--start-snr", type=float, default=8.0,
                    help="Reference-parity default TRUNCATES the trajectory "
@@ -47,12 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--cfg-width", type=float, default=0.12)
     s.add_argument("--dc-weight", type=float, default=0.0)
 
-    d = p.add_argument_group("Domain")
-    d.add_argument("--whiten", type=int, default=0)
+    d = p.add_argument_group("Domain (default: inherited from the checkpoint, "
+                             "like gw-infer)")
+    d.add_argument("--whiten", type=int, default=None)
     d.add_argument("--whiten-mode",
-                   choices=["auto", "model", "welch", "train"], default="auto")
+                   choices=["auto", "model", "welch", "train"], default=None)
     d.add_argument("--sigma-mode", choices=["std", "mad", "fixed"],
-                   default="std")
+                   default=None)
     d.add_argument("--sigma-fixed", type=float, default=1.0)
 
     w = p.add_argument_group("Scoring")
@@ -89,6 +92,18 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--gridline-alpha", type=float, default=0.15)
     v.add_argument("--gridline-width", type=float, default=0.5)
     return p
+
+
+def _inherit_domain_flags(args, ck: dict) -> None:
+    """Unset domain flags inherit the checkpoint's training domain (same
+    contract as gw-infer, cli/infer.py:128-133): a whiten-trained model
+    evaluated on raw strain scores garbage silently."""
+    if args.whiten is None:
+        args.whiten = int(bool(ck.get("whiten", False)))
+    if args.whiten_mode is None:
+        args.whiten_mode = str(ck.get("whiten_mode", "auto"))
+    if args.sigma_mode is None:
+        args.sigma_mode = str(ck.get("sigma_mode", "std"))
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -146,6 +161,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         raise SystemExit("no cells satisfy --min-per-cell")
 
     model, params, schedule, ck = load_model(args.model)
+    _inherit_domain_flags(args, ck)
     preps = prep_samples(args.input_h5, indices, ck, args.model,
                          bool(args.whiten), args.whiten_mode,
                          args.sigma_mode, args.sigma_fixed)

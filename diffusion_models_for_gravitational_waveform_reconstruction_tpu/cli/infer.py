@@ -41,7 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
 
     s = p.add_argument_group("Sampler")
-    s.add_argument("--sampler", choices=["ddim", "ddpm"], default="ddim")
+    s.add_argument("--sampler", choices=["ddim", "ddpm", "dpmpp"], default="ddim",
+                   help="ddim (reference parity) | ddpm (ancestral) | "
+                        "dpmpp (DPM-Solver++(2M), best quality at low steps)")
     s.add_argument("--steps", type=int, default=200)
     s.add_argument("--eta", type=float, default=0.0)
     s.add_argument("--start-t", type=int, default=None)

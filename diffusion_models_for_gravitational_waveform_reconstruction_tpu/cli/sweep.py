@@ -25,11 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--amp", action="store_true", help="(ignored; bf16)")
     p.add_argument("--seed", type=int, default=0)
 
-    p.add_argument("--whiten", type=int, default=0)
+    p.add_argument("--whiten", type=int, default=None,
+                   help="default: inherited from the checkpoint")
     p.add_argument("--whiten-mode",
-                   choices=["auto", "model", "welch", "train"], default="auto")
+                   choices=["auto", "model", "welch", "train"], default=None)
     p.add_argument("--sigma-mode", choices=["std", "mad", "fixed"],
-                   default="std")
+                   default=None)
     p.add_argument("--sigma-fixed", type=float, default=1.0)
 
     g = p.add_argument_group("Grid mode")
@@ -50,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     r = p.add_argument_group("Random mode")
     r.add_argument("--n-coarse", type=int, default=64)
     r.add_argument("--topk", type=int, default=5)
+    r.add_argument("--sampler", choices=["ddim", "ddpm", "dpmpp"],
+                   default="ddim")
     r.add_argument("--steps-coarse", type=int, default=100)
     r.add_argument("--steps-refine", type=int, default=200)
     r.add_argument("--seeds-refine", type=int, default=3)
@@ -83,6 +86,8 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     args.input_h5 = resolve_h5_path(args.input_h5)
     model, params, schedule, ck = load_model(args.model)
+    from .grid import _inherit_domain_flags
+    _inherit_domain_flags(args, ck)
     preps = prep_samples(args.input_h5, args.indices, ck, args.model,
                          bool(args.whiten), args.whiten_mode,
                          args.sigma_mode, args.sigma_fixed)

@@ -146,7 +146,8 @@ def eval_indices(
               if all(c is not None for c in cleans) else None)
         key, k = jax.random.split(key)
         x0_white = reconstruct_batch(model, params, schedule, conds, sigmas,
-                                     cfg, k, clean_norms=cn)
+                                     cfg, k, clean_norms=cn,
+                                     sampler=getattr(args, "sampler", "ddim"))
         for j, i in enumerate(idxs):
             p = preps[i]
             x0_raw = dewhiten_back(x0_white[j].astype(np.float64), p)

@@ -205,6 +205,8 @@ def best_cmd(args, combo: dict, steps: int) -> str:
         f"--cfg-width {combo['cfg_width']:.4g} --dc-weight {combo['dc_weight']:.4g} "
         f"--whiten {int(args.whiten)} --whiten-mode {args.whiten_mode} "
         f"--sigma-mode {args.sigma_mode}"
+        + (f" --sampler {args.sampler}"
+           if getattr(args, "sampler", "ddim") != "ddim" else "")
     )
 
 
@@ -229,7 +231,7 @@ def run_grid(args, model, params, schedule, ck, preps, key) -> dict:
     for n, combo in enumerate(combos):
         key, k = jax.random.split(key)
         r = eval_combo(model, params, schedule, ck, preps, combo,
-                       grid_steps, k)
+                       grid_steps, k, sampler=getattr(args, "sampler", "ddim"))
         results.append(r)
         print(f"[sweep] {n + 1}/{len(combos)} J={r['J']:.4f}  {combo.to_dict()}")
 
@@ -251,7 +253,8 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
         combo = sample_combo(rng, args)
         key, k = jax.random.split(key)
         r = eval_combo(model, params, schedule, ck, preps, combo,
-                       args.steps_coarse, k)
+                       args.steps_coarse, k,
+                       sampler=getattr(args, "sampler", "ddim"))
         coarse.append(r)
         print(f"[sweep] coarse {n + 1}/{args.n_coarse} J={r['J']:.4f}")
 
@@ -268,7 +271,8 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
         for s in range(args.seeds_refine):
             key, k = jax.random.split(key)
             rr = eval_combo(model, params, schedule, ck, preps, combo,
-                            args.steps_refine, k)
+                            args.steps_refine, k,
+                            sampler=getattr(args, "sampler", "ddim"))
             Js.append(rr["J"])
         finals.append({"combo": combo.to_dict(),
                        "J": float(np.mean(Js)),

@@ -35,7 +35,8 @@ from .data.pipeline import (
     whiten_welch_np,
 )
 from .models.unet import UNet1D
-from .ops.sampling import SamplerConfig, ddim_sample, ddpm_sample, one_step_proxy
+from .ops.sampling import (SamplerConfig, ddim_sample, ddpm_sample,
+                           dpmpp_sample, one_step_proxy)
 from .ops.schedules import (
     make_schedule,
     snr_from_alpha_bar,
@@ -364,15 +365,18 @@ def reconstruct(
     if prep["clean_for_cond"] is not None:
         x0_std = float(np.std(prep["clean_for_cond"] / prep["sigma"]))
 
-    sample_fn = ddim_sample if sampler == "ddim" else ddpm_sample
     if sampler == "ddim":
-        out = sample_fn(model_fn, params, schedule, cond, key, cfg,
-                        clean_norm=clean_norm, x0_std_est=x0_std,
-                        collect_diagnostics=collect_diagnostics)
+        out = ddim_sample(model_fn, params, schedule, cond, key, cfg,
+                          clean_norm=clean_norm, x0_std_est=x0_std,
+                          collect_diagnostics=collect_diagnostics)
         x0_norm, diag = out if collect_diagnostics else (out, None)
+    elif sampler == "dpmpp":
+        x0_norm = dpmpp_sample(model_fn, params, schedule, cond, key, cfg,
+                               clean_norm=clean_norm, x0_std_est=x0_std)
+        diag = None
     else:
-        x0_norm = sample_fn(model_fn, params, schedule, cond, key, cfg,
-                            clean_norm=clean_norm)
+        x0_norm = ddpm_sample(model_fn, params, schedule, cond, key, cfg,
+                              clean_norm=clean_norm)
         diag = None
 
     x0_white = np.asarray(x0_norm).ravel() * prep["sigma"]
@@ -406,7 +410,8 @@ def reconstruct_batch(
     def model_fn(p, x, t):
         return model.apply(p, x, t)
 
-    sample_fn = ddim_sample if sampler == "ddim" else ddpm_sample
+    sample_fn = {"ddim": ddim_sample, "ddpm": ddpm_sample,
+                 "dpmpp": dpmpp_sample}[sampler]
     cond = jnp.asarray(cond_stacks)
     cn = jnp.asarray(clean_norms) if clean_norms is not None else None
     if mesh is not None:

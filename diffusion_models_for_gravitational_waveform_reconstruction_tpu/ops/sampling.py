@@ -121,6 +121,39 @@ def _net_in(x_t, cond, sc, use_selfcond):
     return jnp.concatenate(parts, axis=1)
 
 
+def _forward_out(model_fn, params, x_t, t_b, cond_used, cond_u, x0_sc, cfg,
+                 need_uncond, cu, cc):
+    """One (possibly CFG-combined) model forward; cond+uncond run as ONE
+    doubled-batch call to keep the MXU fed (shared by all samplers)."""
+    B = x_t.shape[0]
+    if need_uncond:
+        net_c = _net_in(x_t, cond_used, x0_sc, cfg.use_selfcond)
+        net_u = _net_in(x_t, cond_u, x0_sc, cfg.use_selfcond)
+        out2 = model_fn(params, jnp.concatenate([net_c, net_u], axis=0),
+                        jnp.concatenate([t_b, t_b], axis=0))
+        return cu * out2[B:] + cc * out2[:B]
+    return model_fn(params, _net_in(x_t, cond_used, x0_sc, cfg.use_selfcond),
+                    t_b)
+
+
+def _x0_eps_from_out(out, x_t, ab_t, cfg):
+    """(x0_hat, eps_hat) from the network output under cfg.pred_type."""
+    if cfg.pred_type == "eps":
+        eps_hat = cfg.eps_scale * out
+        x0_hat = (x_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+    elif cfg.pred_type == "v":
+        # v-parametrisation (extension): x0 = sa x_t - sb v; eps = sb x_t + sa v
+        sa = jnp.sqrt(ab_t)
+        sb = jnp.sqrt(jnp.clip(1.0 - ab_t, 0.0))
+        x0_hat = sa * x_t - sb * out
+        eps_hat = sb * x_t + sa * out
+    else:
+        x0_hat = out
+        eps_hat = (x_t - jnp.sqrt(ab_t) * x0_hat) / jnp.sqrt(
+            jnp.clip(1.0 - ab_t, 1e-12))
+    return x0_hat, eps_hat
+
+
 def _init_x(cfg: SamplerConfig, key, batch, length, ab_start, y_chan, x0_std_est,
             schedule, clean_norm, start_t, dtype):
     """Initial x_T (ref ``inference.py:403-417``)."""
@@ -206,31 +239,9 @@ def ddim_sample(
         ab_t = s["ab_t"]
         ab_prev = s["ab_prev"]
 
-        if need_uncond:
-            # one forward on the doubled batch keeps the MXU busy
-            net_c = _net_in(x_t, cond_used, x0_sc, cfg.use_selfcond)
-            net_u = _net_in(x_t, cond_u, x0_sc, cfg.use_selfcond)
-            both = jnp.concatenate([net_c, net_u], axis=0)
-            t2 = jnp.concatenate([t_b, t_b], axis=0)
-            out2 = model_fn(params, both, t2)
-            out_c, out_u = out2[:B], out2[B:]
-            out = s["cu"] * out_u + s["cc"] * out_c
-        else:
-            out = model_fn(params, _net_in(x_t, cond_used, x0_sc, cfg.use_selfcond), t_b)
-
-        if cfg.pred_type == "eps":
-            eps_hat = cfg.eps_scale * out
-            x0_hat = (x_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
-        elif cfg.pred_type == "v":
-            # v-parametrisation (extension): x0 = sa x_t - sb v; eps = sb x_t + sa v
-            sa = jnp.sqrt(ab_t)
-            sb = jnp.sqrt(jnp.clip(1.0 - ab_t, 0.0))
-            x0_hat = sa * x_t - sb * out
-            eps_hat = sb * x_t + sa * out
-        else:
-            x0_hat = out
-            eps_hat = (x_t - jnp.sqrt(ab_t) * x0_hat) / jnp.sqrt(
-                jnp.clip(1.0 - ab_t, 1e-12))
+        out = _forward_out(model_fn, params, x_t, t_b, cond_used, cond_u,
+                           x0_sc, cfg, need_uncond, s["cu"], s["cc"])
+        x0_hat, eps_hat = _x0_eps_from_out(out, x_t, ab_t, cfg)
 
         if cfg.x0_clip > 0:
             x0_hat = jnp.clip(x0_hat, -cfg.x0_clip, cfg.x0_clip)
@@ -349,28 +360,9 @@ def ddpm_sample(
         t_b = jnp.full((B,), s["t"], jnp.int32)
         ab_t, ab_prev, alpha_t = s["ab_t"], s["ab_prev"], s["alpha_t"]
 
-        if need_uncond:
-            net_c = _net_in(x_t, cond_used, x0_sc, cfg.use_selfcond)
-            net_u = _net_in(x_t, cond_u, x0_sc, cfg.use_selfcond)
-            out2 = model_fn(params, jnp.concatenate([net_c, net_u], 0),
-                            jnp.concatenate([t_b, t_b], 0))
-            out = s["cu"] * out2[B:] + s["cc"] * out2[:B]
-        else:
-            out = model_fn(params, _net_in(x_t, cond_used, x0_sc, cfg.use_selfcond), t_b)
-
-        if cfg.pred_type == "eps":
-            eps_hat = cfg.eps_scale * out
-            x0_hat = (x_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
-        elif cfg.pred_type == "v":
-            # v-parametrisation (extension): x0 = sa x_t - sb v; eps = sb x_t + sa v
-            sa = jnp.sqrt(ab_t)
-            sb = jnp.sqrt(jnp.clip(1.0 - ab_t, 0.0))
-            x0_hat = sa * x_t - sb * out
-            eps_hat = sb * x_t + sa * out
-        else:
-            x0_hat = out
-            eps_hat = (x_t - jnp.sqrt(ab_t) * x0_hat) / jnp.sqrt(
-                jnp.clip(1.0 - ab_t, 1e-12))
+        out = _forward_out(model_fn, params, x_t, t_b, cond_used, cond_u,
+                           x0_sc, cfg, need_uncond, s["cu"], s["cc"])
+        x0_hat, eps_hat = _x0_eps_from_out(out, x_t, ab_t, cfg)
 
         if cfg.x0_clip > 0:
             x0_hat = jnp.clip(x0_hat, -cfg.x0_clip, cfg.x0_clip)
@@ -391,6 +383,118 @@ def ddpm_sample(
         return (x_next, x0_sc_next), None
 
     (x_final, _), _ = jax.lax.scan(step, (x_init, sc_init), xs)
+    return x_final
+
+
+def dpmpp_sample(
+    model_fn: ModelFn,
+    params,
+    schedule: DiffusionSchedule,
+    cond_stack: jnp.ndarray,
+    key: jax.Array,
+    cfg: SamplerConfig,
+    clean_norm: Optional[jnp.ndarray] = None,
+    x0_std_est: Optional[float] = None,
+):
+    """DPM-Solver++(2M) — deterministic 2nd-order multistep sampler (extension).
+
+    Same cost as DDIM (ONE model forward per step; the previous step's x0
+    estimate rides the scan carry) but integrates the probability-flow ODE in
+    the half-log-SNR variable lambda = log(alpha/sigma) to 2nd order in the
+    data-prediction parametrisation [Lu et al. 2022, DPM-Solver++]:
+
+        x_{i+1} = (sigma_{i+1}/sigma_i) x_i + alpha_{i+1} (1 - e^{-h_i}) D_i
+        D_i     = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1},  r_i = h_{i-1}/h_i
+
+    All coefficients are precomputed on the host in float64 at trace time
+    (the last step has sigma=0 / h=inf; it collapses to c_x=0, c_D=1 and is
+    taken 1st-order, landing exactly on x0 — same convention as k-diffusion).
+    No reference counterpart (the reference only has DDIM,
+    ``inference.py:374-514``); shares the CFG/conditioning/clamp machinery
+    with :func:`ddim_sample`.  Deterministic: ``eta`` is ignored.
+    """
+    B, _, L = cond_stack.shape
+    T = schedule.T
+    dtype = cond_stack.dtype
+
+    t_sched = build_t_schedule(T, cfg.steps, cfg.start_t)
+    N = len(t_sched)
+    ab_np = np.asarray(schedule.alpha_bar, np.float64).clip(1e-12, 1.0 - 1e-12)
+    ab_t_np = ab_np[t_sched]
+    alpha = np.sqrt(ab_t_np)
+    sig = np.sqrt(1.0 - ab_t_np)
+    # target nodes: next ladder entry; final target is the clean manifold
+    alpha_n = np.concatenate([alpha[1:], [1.0]])
+    sig_n = np.concatenate([sig[1:], [0.0]])
+    with np.errstate(divide="ignore"):
+        lam = np.log(alpha / sig)
+        lam_n = np.log(np.where(sig_n > 0, alpha_n, 1.0)
+                       / np.where(sig_n > 0, sig_n, 1.0))
+        lam_n = np.where(sig_n > 0, lam_n, np.inf)
+    h = lam_n - lam                                   # > 0; last = inf
+    c_x = np.where(sig > 0, sig_n / sig, 0.0)         # last = 0
+    c_d = alpha_n * -np.expm1(-h)                     # last = 1
+    # 2M combination coefficients; 1st order at step 0 (no history) and at
+    # the final step (h = inf would extrapolate x0 through an empty interval)
+    b_old = np.zeros(N)
+    if N > 2:
+        r = h[:-2] / h[1:-1]                          # r_i = h_{i-1}/h_i
+        b_old[1:-1] = -1.0 / (2.0 * r)
+    b_cur = 1.0 - b_old
+
+    w_np = cfg_weight_schedule(N, cfg.cfg_mode, cfg.cfg_scale, cfg.cfg_center,
+                               cfg.cfg_width)
+    cu_np, cc_np = cfg_combination_coeffs(w_np, cfg.cfg_u_only_thresh)
+    need_uncond = bool(np.any(cu_np != 0.0))
+
+    xs = {
+        "t": jnp.asarray(t_sched, jnp.int32),
+        "ab_t": jnp.asarray(ab_t_np, jnp.float32),
+        "c_x": jnp.asarray(c_x, jnp.float32),
+        "c_d": jnp.asarray(c_d, jnp.float32),
+        "b_cur": jnp.asarray(b_cur, jnp.float32),
+        "b_old": jnp.asarray(b_old, jnp.float32),
+        "cu": jnp.asarray(cu_np, jnp.float32),
+        "cc": jnp.asarray(cc_np, jnp.float32),
+    }
+
+    y_chan = cond_stack[:, :1, :]
+    y_used = cfg.cond_scale * y_chan
+    cond_used = (
+        jnp.concatenate([y_used, cond_stack[:, 1:, :]], axis=1)
+        if cond_stack.shape[1] > 1 else y_used
+    )
+    cond_u = _make_uncond(cond_used, cfg.drop_y_only)
+
+    ab_start = jnp.asarray(ab_t_np[0], dtype)
+    x0_std = cfg.x0_std_est if x0_std_est is None else x0_std_est
+    k_init, _ = jax.random.split(key)
+    x_init = _init_x(cfg, k_init, B, L, ab_start, y_chan, x0_std, schedule,
+                     clean_norm, int(t_sched[0]), dtype)
+    sc_init = jnp.zeros_like(x_init)
+
+    def step(carry, s):
+        x_t, x0_sc, x0_old = carry
+        if cfg.clamp_inputs > 0:
+            x_t = jnp.clip(x_t, -cfg.clamp_inputs, cfg.clamp_inputs)
+            x0_sc = jnp.clip(x0_sc, -cfg.clamp_inputs, cfg.clamp_inputs)
+        t_b = jnp.full((B,), s["t"], jnp.int32)
+
+        out = _forward_out(model_fn, params, x_t, t_b, cond_used, cond_u,
+                           x0_sc, cfg, need_uncond, s["cu"], s["cc"])
+        x0_hat, _ = _x0_eps_from_out(out, x_t, s["ab_t"], cfg)
+
+        if cfg.x0_clip > 0:
+            x0_hat = jnp.clip(x0_hat, -cfg.x0_clip, cfg.x0_clip)
+        if cfg.dc_weight > 0:
+            x0_hat = (1.0 - cfg.dc_weight) * x0_hat + cfg.dc_weight * y_chan
+        x0_sc_next = x0_hat if cfg.use_selfcond else x0_sc
+
+        d = s["b_cur"] * x0_hat + s["b_old"] * x0_old
+        x_next = s["c_x"] * x_t + s["c_d"] * d
+        return (x_next, x0_sc_next, x0_hat), None
+
+    (x_final, _, _), _ = jax.lax.scan(step, (x_init, sc_init, sc_init), xs)
     return x_final
 
 
@@ -441,7 +545,6 @@ def one_step_proxy(
         out = model_fn(params, _net_in(x_t, cond_used, sc, cfg.use_selfcond),
                        t_b)
 
-    if cfg.pred_type == "eps":
-        eps_hat = cfg.eps_scale * out
-        return (x_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
-    return out
+    # pred_type-aware x0 recovery (a v checkpoint's raw output is NOT x0)
+    x0_hat, _ = _x0_eps_from_out(out, x_t, ab_t, cfg)
+    return x0_hat

@@ -323,3 +323,58 @@ def test_train_whitening_auto_cascade(tmp_path):
         m = json.load(fh)
     assert m["whiten_kind"] == "train"
     assert np.isfinite(m["strain"]["corr_last"])
+
+
+def test_sweep_grid_inherit_whiten_domain(workdir, dataset, checkpoint):
+    """Regression: gw-sweep/gw-grid default their domain flags (whiten,
+    whiten-mode, sigma-mode) from the CHECKPOINT like gw-infer does — a
+    whiten-trained model evaluated on raw strain scores garbage silently
+    (observed: 'sigma degenerate; fallback' warnings and corr ~ 0)."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.grid import (
+        _inherit_domain_flags,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.inference import (
+        load_model,
+    )
+
+    _, _, _, ck = load_model(checkpoint)
+    assert bool(ck.get("whiten")) is True
+
+    class A:
+        whiten = None
+        whiten_mode = None
+        sigma_mode = None
+
+    a = A()
+    _inherit_domain_flags(a, ck)
+    assert a.whiten == 1
+    assert a.whiten_mode == ck["whiten_mode"]
+    assert a.sigma_mode == ck["sigma_mode"]
+
+    # explicit flags still win
+    b = A(); b.whiten = 0; b.whiten_mode = "welch"; b.sigma_mode = "mad"
+    _inherit_domain_flags(b, ck)
+    assert (b.whiten, b.whiten_mode, b.sigma_mode) == (0, "welch", "mad")
+
+    # e2e: sweep with NO domain flags on a whiten-trained ckpt
+    out = os.path.join(workdir, "sweep_inherit")
+    cli_sweep.main([
+        "--input-h5", dataset, "--indices", "0", "--model", checkpoint,
+        "--outdir", out, "--grid", "--grid-snr", "8", "--grid-cfg", "1.0",
+        "--grid-init", "noise", "--grid-dc", "0.0", "--grid-eta", "0.0",
+        "--steps-coarse", "4"])
+    with open(os.path.join(out, "grid_results.json")) as fh:
+        res = json.load(fh)
+    assert np.isfinite(res[0]["J"])
+
+
+def test_grid_cli_dpmpp_sampler(workdir, dataset, checkpoint):
+    """gw-grid --sampler dpmpp runs end-to-end and emits a summary."""
+    out = os.path.join(workdir, "grid_dpmpp")
+    cli_grid.main([
+        "--input-h5", dataset, "--model", checkpoint, "--outdir", out,
+        "--steps", "4", "--sampler", "dpmpp", "--per-cell", "1",
+        "--min-per-cell", "1"])
+    with open(os.path.join(out, "summary.json")) as fh:
+        s = json.load(fh)
+    assert "corr_macro" in json.dumps(s)

@@ -77,6 +77,93 @@ def bench_conv():
                           "max_abs_err": err}))
 
 
+def bench_conv_bf16():
+    """The round-1 conv table was f32-only; the flagship runs bf16 — measure
+    the fused ConvBlock kernel against XLA in the model's own dtype."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.pallas.fused import (
+        fused_conv_gn_silu,
+        fused_conv_gn_silu_reference,
+    )
+
+    for (B, L, Cin, Cout) in [(64, 4096, 64, 64), (64, 2048, 64, 128),
+                              (64, 1024, 128, 256), (64, 1024, 512, 256)]:
+        g = 8
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        x = jax.random.normal(ks[0], (B, L, Cin), jnp.bfloat16)
+        W = (jax.random.normal(ks[1], (3, Cin, Cout)) * 0.1).astype(jnp.bfloat16)
+        b = jnp.zeros((Cout,), jnp.bfloat16)
+        s_ = jnp.ones((Cout,), jnp.bfloat16)
+        bb = jnp.zeros((Cout,), jnp.bfloat16)
+        ref = jax.jit(lambda x, W, b, s, bb:
+                      fused_conv_gn_silu_reference(x, W, b, s, bb, g))
+        pal = jax.jit(lambda x, W, b, s, bb:
+                      fused_conv_gn_silu(x, W, b, s, bb, g))
+        t_ref = timeit(ref, x, W, b, s_, bb)
+        t_pal = timeit(pal, x, W, b, s_, bb)
+        print(json.dumps({"kernel": "conv_gn_silu_bf16",
+                          "shape": [B, L, Cin, Cout],
+                          "xla_ms": round(t_ref * 1e3, 3),
+                          "pallas_ms": round(t_pal * 1e3, 3),
+                          "speedup": round(t_ref / t_pal, 2)}))
+
+
+def bench_fast_decoder():
+    """Algebraic decoder fusion (DecoderConvBlock) vs the materialised
+    upsample+concat+ConvBlock path, per-stage and whole-model, bf16."""
+    import flax.linen as nn
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models.unet import (
+        ConvBlock,
+        DecoderConvBlock,
+        UNet1D,
+        _fix_len,
+    )
+
+    # flagship decoder stage shapes (L_skip, C_h, C_s, Cout)
+    for (Ls, Ch, Cs, Co) in [(1024, 256, 256, 256), (2048, 256, 128, 128),
+                             (4096, 128, 64, 64)]:
+        B = 64
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        h = jax.random.normal(ks[0], (B, Ls // 2, Ch), jnp.float32)
+        skip = jax.random.normal(ks[1], (B, Ls, Cs), jnp.float32)
+
+        fast_m = DecoderConvBlock(Co, dtype=jnp.bfloat16)
+        params_f = fast_m.init(jax.random.PRNGKey(1), h, skip)
+
+        plain_m = ConvBlock(Co, 3, dtype=jnp.bfloat16)
+
+        def plain(p, h, skip):
+            u = jnp.repeat(h, 2, axis=1)
+            u = _fix_len(u, skip.shape[1])
+            return plain_m.apply(p, jnp.concatenate([u, skip], axis=-1))
+
+        fast = jax.jit(lambda p, h, s: fast_m.apply(p, h, s))
+        plainj = jax.jit(plain)
+        t_plain = timeit(plainj, params_f, h, skip)
+        t_fast = timeit(fast, params_f, h, skip)
+        print(json.dumps({"kernel": "decoder_stage_fast_vs_plain_bf16",
+                          "shape": [B, Ls, Ch, Cs, Co],
+                          "plain_ms": round(t_plain * 1e3, 3),
+                          "fast_ms": round(t_fast * 1e3, 3),
+                          "speedup": round(t_plain / t_fast, 2)}))
+
+    # whole flagship forward
+    B, L = 64, 4096
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, 7, L), jnp.float32)
+    t = jnp.zeros((B,), jnp.int32)
+    for fastdec in (False, True):
+        model = UNet1D(in_ch=7, base_ch=64, time_dim=128, depth=3,
+                       cond_in_ch=5, use_selfcond=True,
+                       dtype=jnp.bfloat16, fast_decoder=fastdec)
+        params = model.init(jax.random.PRNGKey(1), x[:1], t[:1])
+        fwd = jax.jit(lambda p, x, t: model.apply(p, x, t))
+        dt = timeit(fwd, params, x, t, reps=10)
+        print(json.dumps({"kernel": f"unet_fwd_fast_decoder={fastdec}",
+                          "shape": [B, 7, L],
+                          "ms": round(dt * 1e3, 3),
+                          "fwd_per_sec": round(1.0 / dt, 1)}))
+
+
 def bench_attention():
     from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.pallas.attention import (
         flash_attention,
@@ -124,7 +211,11 @@ def bench_unet():
 
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    bench_gn()
-    bench_conv()
-    bench_attention()
-    bench_unet()
+    import sys as _sys
+    only = _sys.argv[1] if len(_sys.argv) > 1 else None
+    table = {"gn": bench_gn, "conv": bench_conv, "conv_bf16": bench_conv_bf16,
+             "decoder": bench_fast_decoder, "attn": bench_attention,
+             "unet": bench_unet}
+    for name, fn in table.items():
+        if only is None or only == name:
+            fn()
