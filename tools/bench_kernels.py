@@ -15,11 +15,26 @@ import numpy as np
 
 
 def timeit(fn, *args, reps=20):
-    fn(*args).block_until_ready()          # compile
+    """Per-call wall time on the tunneled axon backend.
+
+    `block_until_ready` there can return before the work executes — only a
+    host FETCH forces it.  Fetching every rep would bury sub-ms kernels in
+    the tunnel round-trip, so instead every rep's output is folded into one
+    scalar accumulator and a SINGLE final fetch forces the whole chain; the
+    one round-trip amortises over `reps`."""
+    import numpy as _np
+
+    def head(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return leaf.ravel()[:1].astype(jnp.float32)
+
+    _np.asarray(head(fn(*args)))           # compile + first exec
     t0 = time.perf_counter()
+    acc = None
     for _ in range(reps):
-        out = fn(*args)
-    out.block_until_ready()
+        h = head(fn(*args))
+        acc = h if acc is None else acc + h
+    _np.asarray(acc)                       # force all reps
     return (time.perf_counter() - t0) / reps
 
 
