@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--steps", type=int, default=200)
     s.add_argument("--sampler", choices=["ddim", "ddpm", "dpmpp"],
                    default="ddim")
+    s.add_argument("--ladder", choices=["t", "lambda"], default="t")
+    s.add_argument("--avg-seeds", type=int, default=1,
+                   help="Average N independent-noise reconstructions per "
+                        "sample (batched into one scan).")
     s.add_argument("--eta", type=float, default=0.0)
     s.add_argument("--start-snr", type=float, default=8.0,
                    help="Reference-parity default TRUNCATES the trajectory "

@@ -69,6 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tiled-chunk", type=int, default=0,
                    help="Evaluate the U-Net in halo tiles of this length "
                         "(sequence-parallel long-segment path; 0 = off).")
+    s.add_argument("--ladder", choices=["t", "lambda"], default="t",
+                   help="Timestep ladder: 't' = reference-parity linspace in "
+                        "t; 'lambda' = uniform in log-SNR (better low-step "
+                        "quality, required for dpmpp at <50 steps).")
+    s.add_argument("--avg-seeds", type=int, default=1,
+                   help="Average this many independent-noise reconstructions "
+                        "(one batched scan; sampler noise averages down "
+                        "~1/sqrt(N) while the conditioned signal is "
+                        "coherent). 1 = off.")
 
     d = p.add_argument_group("Domain (default: inherited from the checkpoint "
                              "args so inference matches training)")
@@ -166,7 +175,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         cfg_center=args.cfg_center, cfg_width=args.cfg_width,
         cfg_u_only_thresh=args.cfg_u_only_thresh,
         drop_y_only=bool(ck.get("dropout_y_only", True)),
-        oracle_init=args.oracle_init)
+        oracle_init=args.oracle_init, ladder=args.ladder)
 
     tag = args.run_tag or make_run_tag(
         args.sampler, cfg, schedule, bool(args.whiten), args.whiten_mode,
@@ -177,7 +186,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     x0_raw, x0_white, diag = reconstruct(
         model, params, schedule, prep, cfg, key, sampler=args.sampler,
         collect_diagnostics=bool(args.log_jsonl) or args.debug,
-        tiled_chunk=args.tiled_chunk)
+        tiled_chunk=args.tiled_chunk, avg_seeds=args.avg_seeds)
 
     if diag is not None and args.log_jsonl:
         n_steps = len(diag["t"])

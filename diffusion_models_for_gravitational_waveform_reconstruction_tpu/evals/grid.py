@@ -131,7 +131,8 @@ def eval_indices(
         cfg_width=args.cfg_width)
     use_selfcond = int(ck.get("in_ch", 3)) == (1 + int(ck.get("cond_in_ch", 1)) + 1)
     cfg = _sampler_config(combo, args.steps, schedule, ck, use_selfcond,
-                          start_t_override=getattr(args, "start_t", None))
+                          start_t_override=getattr(args, "start_t", None),
+                          ladder=getattr(args, "ladder", "t"))
 
     by_len: Dict[int, List[int]] = {}
     for i, p in enumerate(preps):
@@ -147,7 +148,8 @@ def eval_indices(
         key, k = jax.random.split(key)
         x0_white = reconstruct_batch(model, params, schedule, conds, sigmas,
                                      cfg, k, clean_norms=cn,
-                                     sampler=getattr(args, "sampler", "ddim"))
+                                     sampler=getattr(args, "sampler", "ddim"),
+                                     avg_seeds=getattr(args, "avg_seeds", 1))
         for j, i in enumerate(idxs):
             p = preps[i]
             x0_raw = dewhiten_back(x0_white[j].astype(np.float64), p)

@@ -92,7 +92,8 @@ def prep_samples(
 
 def _sampler_config(combo: Combo, steps: int, schedule, ck: dict,
                     use_selfcond: bool,
-                    start_t_override: int | None = None) -> SamplerConfig:
+                    start_t_override: int | None = None,
+                    ladder: str = "t") -> SamplerConfig:
     """Sampler config for one combo, inheriting checkpoint-domain knobs.
 
     ``pred_type`` MUST come from the checkpoint (same contract as gw-infer):
@@ -113,7 +114,8 @@ def _sampler_config(combo: Combo, steps: int, schedule, ck: dict,
         cfg_center=combo.cfg_center, cfg_width=combo.cfg_width,
         use_selfcond=use_selfcond,
         pred_type=str(ck.get("pred_type", "eps")),
-        drop_y_only=bool(ck.get("dropout_y_only", True)))
+        drop_y_only=bool(ck.get("dropout_y_only", True)),
+        ladder=ladder)
 
 
 def eval_combo(

@@ -340,6 +340,7 @@ def reconstruct(
     collect_diagnostics: bool = False,
     tiled_chunk: int = 0,
     mesh=None,
+    avg_seeds: int = 1,
 ):
     """Sample x0 for one prepared measurement; returns (x0_hat_raw strain,
     x0_hat_white, diagnostics|None).
@@ -347,6 +348,10 @@ def reconstruct(
     ``tiled_chunk`` > 0 evaluates the U-Net in halo tiles of that length
     (``parallel/seqtile.py``) — the multi-chip long-segment path; with
     ``mesh`` the tile axis shards over the mesh's data axis.
+
+    ``avg_seeds`` > 1 averages that many independent-noise reconstructions
+    (one batched scan; see :func:`reconstruct_batch`).  Diagnostics then
+    cover all seed rows.
     """
 
     if tiled_chunk > 0:
@@ -365,6 +370,12 @@ def reconstruct(
     if prep["clean_for_cond"] is not None:
         x0_std = float(np.std(prep["clean_for_cond"] / prep["sigma"]))
 
+    S = max(1, int(avg_seeds))
+    if S > 1:
+        cond = jnp.tile(cond, (S, 1, 1))
+        if clean_norm is not None:
+            clean_norm = jnp.tile(clean_norm, (S, 1, 1))
+
     if sampler == "ddim":
         out = ddim_sample(model_fn, params, schedule, cond, key, cfg,
                           clean_norm=clean_norm, x0_std_est=x0_std,
@@ -378,6 +389,9 @@ def reconstruct(
         x0_norm = ddpm_sample(model_fn, params, schedule, cond, key, cfg,
                               clean_norm=clean_norm)
         diag = None
+
+    if S > 1:
+        x0_norm = x0_norm.mean(axis=0, keepdims=True)
 
     x0_white = np.asarray(x0_norm).ravel() * prep["sigma"]
     x0_raw = dewhiten_back(x0_white, prep)
@@ -395,6 +409,7 @@ def reconstruct_batch(
     clean_norms: Optional[np.ndarray] = None,
     sampler: str = "ddim",
     mesh=None,
+    avg_seeds: int = 1,
 ) -> np.ndarray:
     """Batched sampling: one jitted scan over B measurements at once (the
     reference loops samples serially, ``sweep_infer.py:205-243``).
@@ -403,6 +418,11 @@ def reconstruct_batch(
     params are replicated — population-scale reconstruction on a slice
     (BASELINE config 5) is this call with B = population size.  B must be
     divisible by the data-axis size (pad upstream).
+
+    ``avg_seeds`` > 1 (extension; no reference counterpart) reconstructs
+    each measurement from S independent start/trajectory noise draws IN THE
+    SAME batched scan (batch S·B) and averages: the conditioned signal is
+    coherent across draws while residual sampler noise averages down ~1/√S.
 
     Returns whitened-domain reconstructions (B, L).
     """
@@ -414,6 +434,12 @@ def reconstruct_batch(
                  "dpmpp": dpmpp_sample}[sampler]
     cond = jnp.asarray(cond_stacks)
     cn = jnp.asarray(clean_norms) if clean_norms is not None else None
+    S = max(1, int(avg_seeds))
+    if S > 1:
+        B = cond.shape[0]
+        cond = jnp.tile(cond, (S, 1, 1))       # row-wise independent noise
+        if cn is not None:
+            cn = jnp.tile(cn, (S, 1, 1))
     if mesh is not None:
         from .parallel import mesh as pmesh
 
@@ -423,6 +449,8 @@ def reconstruct_batch(
             cn = jax.device_put(cn, pmesh.batch_sharding(mesh))
     x0_norm = sample_fn(model_fn, params, schedule, cond,
                         key, cfg, clean_norm=cn)
+    if S > 1:
+        x0_norm = x0_norm.reshape(S, B, *x0_norm.shape[1:]).mean(axis=0)
     return np.asarray(x0_norm)[:, 0, :] * np.asarray(sigmas)[:, None]
 
 

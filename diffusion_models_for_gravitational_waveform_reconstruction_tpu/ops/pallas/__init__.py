@@ -5,7 +5,4 @@ Each kernel has an XLA-equivalent reference implementation used for testing
 VMEM or the platform isn't TPU.
 """
 from .attention import flash_attention, flash_attention_reference  # noqa: F401
-from .fused import (  # noqa: F401
-    fused_groupnorm_silu_film,
-    fused_groupnorm_silu_film_reference,
-)
+

@@ -1,24 +1,14 @@
-"""Fused GroupNorm + SiLU + FiLM epilogue as a Pallas TPU kernel.
+"""Fused ConvBlock (conv1d k=3 + GroupNorm + SiLU) as a Pallas TPU kernel.
 
-The U-Net applies this chain after every stage conv
-(``models/unet.py::ConvBlock`` + ``film``; ref semantics at
-``/root/reference/src/snr_denoising/models.py:154-173``):
+Channels-last (B, L, C) to match the model; the XLA-equivalent reference
+implementation is used for testing (interpret mode on CPU) and as the
+automatic fallback when shapes don't fit VMEM or the platform isn't TPU.
 
-    h = GroupNorm_{g}(x) * w_gn + b_gn     (stats over (L, C/g) per group)
-    h = silu(h)
-    h = h * (1 + film_g) + film_b          (per (batch, channel) FiLM)
-
-XLA runs the normalize/scale/activate chain as separate fusions with an HBM
-round trip between the stats pass and the apply pass; this kernel does one
-read of x per batch element, computing group statistics with MXU-friendly
-masked matmuls (x @ group-one-hot) instead of lane-hostile reshapes:
-
-    t = x^T(ones_L)      per-channel sums       (C,)
-    s_g = t @ M          per-group sums         (G,)   M: (C, G) one-hot
-
-Layout is channels-last (B, L, C) to match the model.  Callers fall back to
-``fused_groupnorm_silu_film_reference`` when (L, C) doesn't fit VMEM or off
-TPU.
+A standalone fused GroupNorm+SiLU+FiLM scaffold lived here through round 1;
+it was removed in round 2: it was wired into nothing, and fetch-forced bf16
+measurements (RESULTS.md, "Timing methodology correction") show the model
+is HBM-bound at ~10% MXU utilisation with XLA already fusing the
+normalise/activate chain — a standalone epilogue kernel cannot win there.
 """
 from __future__ import annotations
 
@@ -27,103 +17,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-
-def fused_groupnorm_silu_film_reference(x, w_gn, b_gn, film_g, film_b,
-                                        groups: int, eps: float = 1e-5):
-    """XLA reference: x (B, L, C); w/b (C,); film_g/b (B, C)."""
-    B, L, C = x.shape
-    xg = x.reshape(B, L, groups, C // groups).astype(jnp.float32)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
-    h = ((xg - mean) / jnp.sqrt(var + eps)).reshape(B, L, C)
-    h = h * w_gn[None, None, :] + b_gn[None, None, :]
-    h = jax.nn.silu(h)
-    return (h * (1.0 + film_g[:, None, :]) + film_b[:, None, :]).astype(x.dtype)
-
-
-def _gn_silu_film_kernel(x_ref, wgn_ref, bgn_ref, fg_ref, fb_ref, m_ref,
-                         o_ref, *, groups: int, eps: float):
-    L, C = x_ref.shape
-    cg = C // groups
-    n = float(L * cg)
-
-    x = x_ref[:].astype(jnp.float32)                     # (L, C)
-    M = m_ref[:]                                         # (C, G) one-hot f32
-
-    ch_sum = jnp.sum(x, axis=0, keepdims=True)           # (1, C)
-    ch_sq = jnp.sum(x * x, axis=0, keepdims=True)        # (1, C)
-    g_sum = jax.lax.dot_general(ch_sum, M, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (1, G)
-    g_sq = jax.lax.dot_general(ch_sq, M, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    mean_g = g_sum / n
-    var_g = g_sq / n - mean_g * mean_g
-    inv_g = jax.lax.rsqrt(jnp.maximum(var_g + eps, 1e-30))           # (1, G)
-
-    # broadcast group stats back to channels: (1, G) @ M^T -> (1, C)
-    mean_c = jax.lax.dot_general(mean_g, M, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    inv_c = jax.lax.dot_general(inv_g, M, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-
-    h = (x - mean_c) * inv_c
-    h = h * wgn_ref[:].astype(jnp.float32) + bgn_ref[:].astype(jnp.float32)
-    h = h * jax.nn.sigmoid(h)                            # silu
-    h = h * (1.0 + fg_ref[:].astype(jnp.float32)) + fb_ref[:].astype(jnp.float32)
-    o_ref[:] = h.astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("groups", "eps", "interpret"))
-def fused_groupnorm_silu_film(
-    x: jnp.ndarray,          # (B, L, C)
-    w_gn: jnp.ndarray,       # (C,)
-    b_gn: jnp.ndarray,       # (C,)
-    film_g: jnp.ndarray,     # (B, C)
-    film_b: jnp.ndarray,     # (B, C)
-    groups: int,
-    eps: float = 1e-5,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, L, C = x.shape
-    if C % groups:
-        raise ValueError(f"C={C} not divisible by groups={groups}")
-    onehot = np.zeros((C, groups), np.float32)
-    for c in range(C):
-        onehot[c, c // (C // groups)] = 1.0
-
-    kernel = functools.partial(_gn_silu_film_kernel, groups=groups, eps=eps)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((None, L, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, groups), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, L, C), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
-        interpret=interpret,
-    )(x, w_gn.reshape(1, C), b_gn.reshape(1, C),
-      film_g.reshape(B, 1, C), film_b.reshape(B, 1, C),
-      jnp.asarray(onehot))
-
-
-def vmem_ok(L: int, C: int, budget_bytes: int = 8 * 1024 * 1024) -> bool:
-    """Conservative check that one (L, C) f32 block + output fits VMEM."""
-    return 2 * L * C * 4 <= budget_bytes
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,7 @@ import numpy as np
 
 from .schedules import (
     DiffusionSchedule,
+    build_lambda_t_schedule,
     build_t_schedule,
     cfg_combination_coeffs,
     cfg_weight_schedule,
@@ -84,6 +85,11 @@ class SamplerConfig:
     # vs y (ref inference.py:491-512 uses 0.25 s; 1024 samples at 4096 Hz).
     # 0 -> min(L-1, 1024).  Only used when collect_diagnostics=True.
     diag_max_shift: int = 0
+    # timestep ladder spacing: "t" (reference-parity linspace in t) or
+    # "lambda" (uniform in log-SNR; see schedules.build_lambda_t_schedule —
+    # keeps multistep interval ratios bounded, essential for dpmpp at low
+    # step counts on a cosine schedule)
+    ladder: str = "t"
 
 
 def lagged_xcorr(a: jnp.ndarray, b: jnp.ndarray, max_shift: int):
@@ -114,6 +120,12 @@ def _make_uncond(cond_used: jnp.ndarray, drop_y_only: bool) -> jnp.ndarray:
             [jnp.zeros_like(cond_used[:, :1]), cond_used[:, 1:]], axis=1
         )
     return jnp.zeros_like(cond_used)
+
+
+def _t_ladder(schedule: DiffusionSchedule, cfg: "SamplerConfig") -> np.ndarray:
+    if cfg.ladder == "lambda":
+        return build_lambda_t_schedule(schedule, cfg.steps, cfg.start_t)
+    return build_t_schedule(schedule.T, cfg.steps, cfg.start_t)
 
 
 def _net_in(x_t, cond, sc, use_selfcond):
@@ -195,7 +207,7 @@ def ddim_sample(
     dtype = cond_stack.dtype
 
     # ---- host-side (trace-time) schedule construction ----
-    t_sched = build_t_schedule(T, cfg.steps, cfg.start_t)
+    t_sched = _t_ladder(schedule, cfg)
     N = len(t_sched)
     ab_np = np.asarray(schedule.alpha_bar, dtype=np.float64).clip(1e-12, 1.0)
     ab_t_np = ab_np[t_sched]
@@ -314,7 +326,7 @@ def ddpm_sample(
     T = schedule.T
     dtype = cond_stack.dtype
 
-    t_sched = build_t_schedule(T, cfg.steps, cfg.start_t)
+    t_sched = _t_ladder(schedule, cfg)
     N = len(t_sched)
     ab_np = np.asarray(schedule.alpha_bar, np.float64).clip(1e-12, 1.0)
     betas_np = np.asarray(schedule.betas, np.float64)
@@ -417,7 +429,7 @@ def dpmpp_sample(
     T = schedule.T
     dtype = cond_stack.dtype
 
-    t_sched = build_t_schedule(T, cfg.steps, cfg.start_t)
+    t_sched = _t_ladder(schedule, cfg)
     N = len(t_sched)
     ab_np = np.asarray(schedule.alpha_bar, np.float64).clip(1e-12, 1.0 - 1e-12)
     ab_t_np = ab_np[t_sched]

@@ -95,6 +95,42 @@ def t_for_target_snr(schedule: DiffusionSchedule, target_snr: float) -> int:
 # DDIM timestep schedule  (ref inference.py:217-228)
 # ---------------------------------------------------------------------------
 
+def build_lambda_t_schedule(
+    schedule: DiffusionSchedule, steps: int,
+    start_t: Optional[int] = None,
+) -> np.ndarray:
+    """Descending timestep ladder UNIFORM IN lambda = log(alpha/sigma).
+
+    Extension (no reference counterpart): the reference's linspace-in-t
+    ladder (``build_t_schedule``) concentrates almost no resolution where
+    the half-log-SNR actually changes fastest (both ends of a cosine
+    schedule), which is exactly where multistep solvers' interval-ratio
+    coefficients explode.  Spacing the nodes evenly in lambda keeps every
+    solver step the same "distance" in the ODE's natural variable — the
+    same idea as Karras sigma spacing.  Endpoints (start_t and 0) are
+    always included; duplicates from the discrete t-grid are collapsed.
+    """
+    T = schedule.T
+    if start_t is None:
+        start_t = T - 1
+    start_t = int(max(0, min(int(start_t), T - 1)))
+    steps = int(max(1, min(int(steps), start_t + 1)))
+    ab = np.asarray(schedule.alpha_bar, np.float64).clip(1e-12, 1 - 1e-12)
+    lam = 0.5 * (np.log(ab) - np.log1p(-ab))          # descending in t
+    targets = np.linspace(lam[start_t], lam[0], steps)
+    # invert the monotone map lambda(t) on the integer grid (reverse it so
+    # np.interp sees ascending x)
+    rev_lam = lam[start_t::-1]
+    rev_t = np.arange(start_t, -1, -1, dtype=np.float64)
+    ts = np.round(np.interp(targets, rev_lam, rev_t)).astype(np.int64)
+    ts = np.unique(np.clip(ts, 0, start_t))[::-1]
+    if ts[0] != start_t:
+        ts = np.concatenate([[start_t], ts])
+    if ts[-1] != 0:
+        ts = np.concatenate([ts, [0]])
+    return ts
+
+
 def build_t_schedule(T: int, steps: int, start_t: Optional[int] = None) -> np.ndarray:
     """Descending, deduplicated timestep ladder from start_t to 0.
 

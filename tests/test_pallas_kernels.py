@@ -7,8 +7,6 @@ import pytest
 from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.pallas import (
     flash_attention,
     flash_attention_reference,
-    fused_groupnorm_silu_film,
-    fused_groupnorm_silu_film_reference,
 )
 
 
@@ -30,42 +28,6 @@ def test_flash_attention_rejects_ragged():
     q = jnp.zeros((1, 1, 300, 32))
     with pytest.raises(ValueError):
         flash_attention(q, q, q, blk_q=128, blk_k=128, interpret=True)
-
-
-@pytest.mark.parametrize("B,L,C,groups", [(2, 128, 64, 8), (1, 256, 24, 8),
-                                          (3, 64, 16, 8)])
-def test_fused_gn_silu_film_matches_reference(B, L, C, groups):
-    import math
-
-    groups = math.gcd(groups, C)
-    key = jax.random.PRNGKey(1)
-    ks = jax.random.split(key, 5)
-    x = jax.random.normal(ks[0], (B, L, C), jnp.float32) * 3.0 + 0.5
-    w = jax.random.normal(ks[1], (C,)) * 0.1 + 1.0
-    b = jax.random.normal(ks[2], (C,)) * 0.1
-    fg = jax.random.normal(ks[3], (B, C)) * 0.2
-    fb = jax.random.normal(ks[4], (B, C)) * 0.2
-    ref = fused_groupnorm_silu_film_reference(x, w, b, fg, fb, groups)
-    out = fused_groupnorm_silu_film(x, w, b, fg, fb, groups, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-5)
-
-
-def test_fused_gn_matches_flax_groupnorm():
-    """The kernel's GN statistics must match flax's GroupNorm exactly
-    (same epsilon/grouping as the model uses)."""
-    import flax.linen as nn
-
-    B, L, C, g = 2, 96, 32, 8
-    x = jax.random.normal(jax.random.PRNGKey(2), (B, L, C))
-    gn = nn.GroupNorm(num_groups=g, epsilon=1e-5)
-    params = gn.init(jax.random.PRNGKey(0), x)
-    ref = nn.silu(gn.apply(params, x))
-    out = fused_groupnorm_silu_film(
-        x, params["params"]["scale"], params["params"]["bias"],
-        jnp.zeros((B, C)), jnp.zeros((B, C)), g, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-5)
 
 
 def test_unet_pallas_path_matches_plain():

@@ -93,3 +93,72 @@ def test_cfg_combination_coeffs_cases():
     # guided
     assert cu[2] == pytest.approx(-0.5)
     assert cc[2] == pytest.approx(1.5)
+
+
+def test_lambda_ladder_uniform_in_log_snr():
+    """build_lambda_t_schedule: descending, endpoint-inclusive, and (up to
+    integer-grid rounding) uniformly spaced in lambda = log(alpha/sigma) —
+    unlike the reference linspace-in-t ladder whose lambda intervals vary by
+    orders of magnitude on a cosine schedule."""
+    import numpy as np
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.schedules import (
+        build_lambda_t_schedule,
+        build_t_schedule,
+        make_schedule,
+    )
+
+    sched = make_schedule(1000, "cosine")
+    ts = build_lambda_t_schedule(sched, 20)
+    assert ts[0] == 999 and ts[-1] == 0
+    assert np.all(np.diff(ts) < 0)
+
+    ab = np.asarray(sched.alpha_bar, np.float64).clip(1e-12, 1 - 1e-12)
+    lam = 0.5 * (np.log(ab) - np.log1p(-ab))
+
+    def spread(tt, interior=False):
+        h = np.diff(lam[tt])
+        if interior:                    # first/last intervals are limited by
+            h = h[1:-1]                 # the discrete t-grid's own lambda gaps
+        return h.max() / max(h.min(), 1e-12)
+
+    s_lam = spread(ts, interior=True)
+    s_t = spread(build_t_schedule(1000, 20))
+    assert s_lam < 1.5, s_lam          # near-uniform (integer rounding only)
+    assert s_t > 4 * s_lam, (s_t, s_lam)  # t-ladder: wildly uneven in lambda
+
+    # start_t restriction respected
+    ts2 = build_lambda_t_schedule(sched, 10, start_t=500)
+    assert ts2[0] == 500 and ts2[-1] == 0
+
+
+def test_sampler_ladder_lambda_runs():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.sampling import (
+        SamplerConfig,
+        ddim_sample,
+        dpmpp_sample,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.schedules import (
+        make_schedule,
+    )
+
+    sched = make_schedule(100, "cosine")
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 32))
+
+    def oracle(params, net_in, t):
+        x_t = net_in[:, :1, :]
+        ab = params["ab"][t].reshape(-1, 1, 1)
+        return (x_t - jnp.sqrt(ab) * x0) / jnp.sqrt(jnp.clip(1 - ab, 1e-12))
+
+    cond = jnp.zeros((1, 1, 32))
+    for fn in (ddim_sample, dpmpp_sample):
+        cfg = SamplerConfig(steps=12, cfg_scale=1.0, use_selfcond=False,
+                            ladder="lambda")
+        out = fn(oracle, {"ab": sched.alpha_bar}, sched, cond,
+                 jax.random.PRNGKey(0), cfg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   rtol=1e-3, atol=1e-4)

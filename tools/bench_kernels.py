@@ -38,32 +38,6 @@ def timeit(fn, *args, reps=20):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_gn():
-    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.pallas.fused import (
-        fused_groupnorm_silu_film,
-        fused_groupnorm_silu_film_reference,
-    )
-
-    for (B, L, C) in [(64, 4096, 64), (64, 2048, 128), (64, 1024, 256)]:
-        g = 8
-        ks = jax.random.split(jax.random.PRNGKey(0), 5)
-        x = jax.random.normal(ks[0], (B, L, C), jnp.float32)
-        w = jnp.ones((C,)); b = jnp.zeros((C,))
-        fg = jax.random.normal(ks[1], (B, C)) * 0.1
-        fb = jax.random.normal(ks[2], (B, C)) * 0.1
-
-        ref = jax.jit(lambda x, w, b, fg, fb:
-                      fused_groupnorm_silu_film_reference(x, w, b, fg, fb, g))
-        pal = jax.jit(lambda x, w, b, fg, fb:
-                      fused_groupnorm_silu_film(x, w, b, fg, fb, g))
-        t_ref = timeit(ref, x, w, b, fg, fb)
-        t_pal = timeit(pal, x, w, b, fg, fb)
-        print(json.dumps({"kernel": "gn_silu_film", "shape": [B, L, C],
-                          "xla_ms": round(t_ref * 1e3, 3),
-                          "pallas_ms": round(t_pal * 1e3, 3),
-                          "speedup": round(t_ref / t_pal, 2)}))
-
-
 def bench_conv():
     from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.pallas.fused import (
         fused_conv_gn_silu,
@@ -228,7 +202,7 @@ if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     import sys as _sys
     only = _sys.argv[1] if len(_sys.argv) > 1 else None
-    table = {"gn": bench_gn, "conv": bench_conv, "conv_bf16": bench_conv_bf16,
+    table = {"conv": bench_conv, "conv_bf16": bench_conv_bf16,
              "decoder": bench_fast_decoder, "attn": bench_attention,
              "unet": bench_unet}
     for name, fn in table.items():
