@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--steps", type=int, default=200)
     s.add_argument("--sampler", choices=["ddim", "ddpm", "dpmpp"],
                    default="ddim")
-    s.add_argument("--ladder", choices=["t", "lambda"], default="t")
+    s.add_argument("--ladder", choices=["t", "lambda"], default=None,
+                   help="Default: 'lambda' for --sampler dpmpp, else 't'.")
     s.add_argument("--avg-seeds", type=int, default=1,
                    help="Average N independent-noise reconstructions per "
                         "sample (batched into one scan).")

@@ -69,10 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tiled-chunk", type=int, default=0,
                    help="Evaluate the U-Net in halo tiles of this length "
                         "(sequence-parallel long-segment path; 0 = off).")
-    s.add_argument("--ladder", choices=["t", "lambda"], default="t",
+    s.add_argument("--ladder", choices=["t", "lambda"], default=None,
                    help="Timestep ladder: 't' = reference-parity linspace in "
                         "t; 'lambda' = uniform in log-SNR (better low-step "
-                        "quality, required for dpmpp at <50 steps).")
+                        "quality; measured +0.09 corr at 20 steps). Default: "
+                        "'lambda' for --sampler dpmpp (whose multistep "
+                        "coefficients need even lambda spacing), else 't'.")
     s.add_argument("--avg-seeds", type=int, default=1,
                    help="Average this many independent-noise reconstructions "
                         "(one batched scan; sampler noise averages down "
@@ -175,7 +177,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         cfg_center=args.cfg_center, cfg_width=args.cfg_width,
         cfg_u_only_thresh=args.cfg_u_only_thresh,
         drop_y_only=bool(ck.get("dropout_y_only", True)),
-        oracle_init=args.oracle_init, ladder=args.ladder)
+        oracle_init=args.oracle_init,
+        ladder=args.ladder or ("lambda" if args.sampler == "dpmpp" else "t"))
 
     tag = args.run_tag or make_run_tag(
         args.sampler, cfg, schedule, bool(args.whiten), args.whiten_mode,

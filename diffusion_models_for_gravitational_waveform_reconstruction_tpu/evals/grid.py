@@ -132,7 +132,10 @@ def eval_indices(
     use_selfcond = int(ck.get("in_ch", 3)) == (1 + int(ck.get("cond_in_ch", 1)) + 1)
     cfg = _sampler_config(combo, args.steps, schedule, ck, use_selfcond,
                           start_t_override=getattr(args, "start_t", None),
-                          ladder=getattr(args, "ladder", "t"))
+                          ladder=getattr(args, "ladder", None)
+                          or ("lambda"
+                              if getattr(args, "sampler", "ddim") == "dpmpp"
+                              else "t"))
 
     by_len: Dict[int, List[int]] = {}
     for i, p in enumerate(preps):

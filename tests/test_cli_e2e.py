@@ -378,3 +378,24 @@ def test_grid_cli_dpmpp_sampler(workdir, dataset, checkpoint):
     with open(os.path.join(out, "summary.json")) as fh:
         s = json.load(fh)
     assert "corr_macro" in json.dumps(s)
+
+
+def test_dpmpp_defaults_to_lambda_ladder(workdir, dataset, checkpoint):
+    """--sampler dpmpp without --ladder must use the lambda-uniform ladder
+    (the t-ladder's uneven lambda intervals collapse dpmpp at low steps:
+    measured 0.287 vs 0.662 corr_macro at 20 steps)."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.grid import (
+        build_parser,
+    )
+
+    p = build_parser()
+    a = p.parse_args(["--input-h5", "x", "--model", "y",
+                      "--sampler", "dpmpp"])
+    ladder = a.ladder or ("lambda" if a.sampler == "dpmpp" else "t")
+    assert ladder == "lambda"
+    a2 = p.parse_args(["--input-h5", "x", "--model", "y"])
+    ladder2 = a2.ladder or ("lambda" if a2.sampler == "dpmpp" else "t")
+    assert ladder2 == "t"
+    a3 = p.parse_args(["--input-h5", "x", "--model", "y",
+                       "--sampler", "dpmpp", "--ladder", "t"])
+    assert (a3.ladder or "lambda") == "t"
