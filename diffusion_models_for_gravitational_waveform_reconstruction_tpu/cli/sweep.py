@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--topk", type=int, default=5)
     r.add_argument("--sampler", choices=["ddim", "ddpm", "dpmpp"],
                    default="ddim")
+    r.add_argument("--ladder", choices=["t", "lambda"], default=None,
+                   help="Default: 'lambda' for --sampler dpmpp, else 't'.")
     r.add_argument("--steps-coarse", type=int, default=100)
     r.add_argument("--steps-refine", type=int, default=200)
     r.add_argument("--seeds-refine", type=int, default=3)

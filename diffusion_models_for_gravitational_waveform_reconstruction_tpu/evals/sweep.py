@@ -125,13 +125,15 @@ def eval_combo(
     steps: int,
     key: jax.Array,
     sampler: str = "ddim",
+    ladder: str = "t",
 ) -> dict:
     """Evaluate one combo on all prepared samples (batched per length group).
 
     Returns {J, J_mean/std per-sample metrics list, combo dict}.
     """
     use_selfcond = int(ck.get("in_ch", 3)) == (1 + int(ck.get("cond_in_ch", 1)) + 1)
-    cfg = _sampler_config(combo, steps, schedule, ck, use_selfcond)
+    cfg = _sampler_config(combo, steps, schedule, ck, use_selfcond,
+                          ladder=ladder)
 
     by_len: Dict[int, List[int]] = {}
     for i, p in enumerate(preps):
@@ -233,7 +235,10 @@ def run_grid(args, model, params, schedule, ck, preps, key) -> dict:
     for n, combo in enumerate(combos):
         key, k = jax.random.split(key)
         r = eval_combo(model, params, schedule, ck, preps, combo,
-                       grid_steps, k, sampler=getattr(args, "sampler", "ddim"))
+                       grid_steps, k, sampler=getattr(args, "sampler", "ddim"),
+                       ladder=getattr(args, "ladder", None)
+                       or ("lambda" if getattr(args, "sampler", "ddim") == "dpmpp"
+                           else "t"))
         results.append(r)
         print(f"[sweep] {n + 1}/{len(combos)} J={r['J']:.4f}  {combo.to_dict()}")
 
@@ -256,7 +261,10 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
         key, k = jax.random.split(key)
         r = eval_combo(model, params, schedule, ck, preps, combo,
                        args.steps_coarse, k,
-                       sampler=getattr(args, "sampler", "ddim"))
+                       sampler=getattr(args, "sampler", "ddim"),
+                       ladder=getattr(args, "ladder", None)
+                       or ("lambda" if getattr(args, "sampler", "ddim") == "dpmpp"
+                           else "t"))
         coarse.append(r)
         print(f"[sweep] coarse {n + 1}/{args.n_coarse} J={r['J']:.4f}")
 
@@ -274,7 +282,10 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
             key, k = jax.random.split(key)
             rr = eval_combo(model, params, schedule, ck, preps, combo,
                             args.steps_refine, k,
-                            sampler=getattr(args, "sampler", "ddim"))
+                            sampler=getattr(args, "sampler", "ddim"),
+                       ladder=getattr(args, "ladder", None)
+                       or ("lambda" if getattr(args, "sampler", "ddim") == "dpmpp"
+                           else "t"))
             Js.append(rr["J"])
         finals.append({"combo": combo.to_dict(),
                        "J": float(np.mean(Js)),
