@@ -211,6 +211,7 @@ def best_cmd(args, combo: dict, steps: int) -> str:
         f"--sigma-mode {args.sigma_mode}"
         + (f" --sampler {args.sampler}"
            if getattr(args, "sampler", "ddim") != "ddim" else "")
+        + (f" --ladder {args.ladder}" if getattr(args, "ladder", None) else "")
     )
 
 
