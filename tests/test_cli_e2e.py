@@ -399,3 +399,17 @@ def test_dpmpp_defaults_to_lambda_ladder(workdir, dataset, checkpoint):
     a3 = p.parse_args(["--input-h5", "x", "--model", "y",
                        "--sampler", "dpmpp", "--ladder", "t"])
     assert (a3.ladder or "lambda") == "t"
+
+
+def test_infer_cli_avg_seeds_lambda_plot(workdir, dataset, checkpoint):
+    """gw-infer with the measured-best recipe flags (--ladder lambda,
+    --avg-seeds, --plot) runs end-to-end and emits plot + metrics."""
+    out = os.path.join(workdir, "infer_avg")
+    cli_infer.main([
+        "--input-h5", dataset, "--index", "0", "--model", checkpoint,
+        "--outdir", out, "--steps", "4", "--ladder", "lambda",
+        "--avg-seeds", "3", "--plot", "--run-tag", "avg"])
+    with open(os.path.join(out, "metrics_avg.json")) as fh:
+        m = json.load(fh)
+    assert np.isfinite(m["strain"]["corr_last"])
+    assert os.path.exists(os.path.join(out, "overlay_avg.png"))
