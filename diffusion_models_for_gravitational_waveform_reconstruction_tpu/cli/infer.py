@@ -186,10 +186,24 @@ def main(argv: Optional[List[str]] = None) -> None:
     logger = JsonlLogger(args.log_jsonl)
 
     key = jax.random.PRNGKey(args.seed)
-    x0_raw, x0_white, diag = reconstruct(
+    want_spread = args.avg_seeds > 1
+    out = reconstruct(
         model, params, schedule, prep, cfg, key, sampler=args.sampler,
         collect_diagnostics=bool(args.log_jsonl) or args.debug,
-        tiled_chunk=args.tiled_chunk, avg_seeds=args.avg_seeds)
+        tiled_chunk=args.tiled_chunk, avg_seeds=args.avg_seeds,
+        return_all_seeds=want_spread)
+    if want_spread:
+        x0_raw, x0_white, diag, seeds_white = out
+        # seed scatter = reconstruction-uncertainty estimate (extension):
+        # std over the S independent-noise reconstructions, in the whitened
+        # domain and (per-seed de-whitened) in strain
+        spread_white = seeds_white.std(axis=0)
+        seeds_raw = np.stack([dewhiten_back(row.astype(np.float64), prep)
+                              for row in seeds_white])
+        spread_raw = seeds_raw.std(axis=0)
+    else:
+        x0_raw, x0_white, diag = out
+        spread_raw = None
 
     if diag is not None and args.log_jsonl:
         n_steps = len(diag["t"])
@@ -208,6 +222,9 @@ def main(argv: Optional[List[str]] = None) -> None:
             logger.log(rec)
 
     np.save(os.path.join(args.outdir, f"recon_{tag}.npy"), x0_raw)
+    if spread_raw is not None:
+        np.save(os.path.join(args.outdir, f"recon_spread_{tag}.npy"),
+                spread_raw)
     np.save(os.path.join(args.outdir, f"measurement_{tag}.npy"), prep["y_raw"])
     if prep["clean_raw"] is not None:
         np.save(os.path.join(args.outdir, f"clean_{tag}.npy"), prep["clean_raw"])
@@ -215,6 +232,15 @@ def main(argv: Optional[List[str]] = None) -> None:
     results = {"tag": tag, "sigma": prep["sigma"], "L": prep["L"], "fs": fs,
                "whiten_kind": prep["whiten_kind_used"],
                "start_t": -1 if start_t is None else int(start_t)}
+    if spread_raw is not None:
+        results["seed_spread"] = {
+            "n_seeds": int(args.avg_seeds),
+            "strain_rms": float(np.sqrt(np.mean(spread_raw ** 2))),
+            "white_rms": float(np.sqrt(np.mean(spread_white ** 2))),
+            # scatter relative to the reconstruction's own scale
+            "rel": float(np.sqrt(np.mean(spread_raw ** 2))
+                         / (np.sqrt(np.mean(x0_raw ** 2)) + 1e-300)),
+        }
     if prep["clean_raw"] is not None:
         m_strain = M.score_last_window(x0_raw, prep["clean_raw"], fs,
                                        args.score_secs)
@@ -258,11 +284,11 @@ def main(argv: Optional[List[str]] = None) -> None:
         json.dump(results, fh, indent=2)
 
     if args.plot:
-        _plots(args, prep, x0_raw, fs, tag)
+        _plots(args, prep, x0_raw, fs, tag, spread_raw=spread_raw)
     print(f"[infer] artifacts -> {args.outdir} (tag={tag})")
 
 
-def _plots(args, prep, x0_raw, fs, tag):
+def _plots(args, prep, x0_raw, fs, tag, spread_raw=None):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -276,6 +302,10 @@ def _plots(args, prep, x0_raw, fs, tag):
     if prep["clean_raw"] is not None:
         ax.plot(t, prep["clean_raw"], lw=0.8, label="clean")
     ax.plot(t, x0_raw, lw=0.8, label="recon")
+    if spread_raw is not None:
+        ax.fill_between(t, x0_raw - 2 * spread_raw, x0_raw + 2 * spread_raw,
+                        alpha=0.25, linewidth=0,
+                        label=f"±2σ seed scatter (n={args.avg_seeds})")
     ax.legend()
     ax.set_xlabel("t [s]")
     fig.savefig(os.path.join(args.outdir, f"overlay_{tag}.png"), dpi=120)

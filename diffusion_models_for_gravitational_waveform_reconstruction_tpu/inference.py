@@ -341,6 +341,7 @@ def reconstruct(
     tiled_chunk: int = 0,
     mesh=None,
     avg_seeds: int = 1,
+    return_all_seeds: bool = False,
 ):
     """Sample x0 for one prepared measurement; returns (x0_hat_raw strain,
     x0_hat_white, diagnostics|None).
@@ -351,7 +352,9 @@ def reconstruct(
 
     ``avg_seeds`` > 1 averages that many independent-noise reconstructions
     (one batched scan; see :func:`reconstruct_batch`).  Diagnostics then
-    cover all seed rows.
+    cover all seed rows.  With ``return_all_seeds`` the per-seed whitened
+    reconstructions (S, L) are returned as a 4th element — the seed scatter
+    is a reconstruction-uncertainty estimate (no reference counterpart).
     """
 
     if tiled_chunk > 0:
@@ -390,11 +393,16 @@ def reconstruct(
                               clean_norm=clean_norm)
         diag = None
 
+    seeds_white = None
     if S > 1:
+        if return_all_seeds:
+            seeds_white = (np.asarray(x0_norm)[:, 0, :] * prep["sigma"])
         x0_norm = x0_norm.mean(axis=0, keepdims=True)
 
     x0_white = np.asarray(x0_norm).ravel() * prep["sigma"]
     x0_raw = dewhiten_back(x0_white, prep)
+    if return_all_seeds:
+        return x0_raw, x0_white, diag, seeds_white
     return x0_raw, x0_white, diag
 
 

@@ -413,3 +413,7 @@ def test_infer_cli_avg_seeds_lambda_plot(workdir, dataset, checkpoint):
         m = json.load(fh)
     assert np.isfinite(m["strain"]["corr_last"])
     assert os.path.exists(os.path.join(out, "overlay_avg.png"))
+    # seed-scatter uncertainty artifacts (extension)
+    assert m["seed_spread"]["n_seeds"] == 3
+    assert m["seed_spread"]["strain_rms"] > 0
+    assert os.path.exists(os.path.join(out, "recon_spread_avg.npy"))

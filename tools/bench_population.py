@@ -46,13 +46,14 @@ def main(B: int = 256, L: int = 4096, steps: int = 100):
         return model.apply(p, x, t)
 
     run = jax.jit(lambda c, k: ddim_sample(model_fn, params, schedule, c, k, cfg))
-    run(cond, jax.random.PRNGKey(2)).block_until_ready()   # compile
+    # fetch-forced sync: on the tunneled axon backend block_until_ready can
+    # return before execution — only a host fetch forces it (see bench.py)
+    _ = np.asarray(run(cond, jax.random.PRNGKey(2))[0, 0, :2])   # compile
 
     reps = 3
     t0 = time.perf_counter()
     for r in range(reps):
-        out = run(cond, jax.random.PRNGKey(3 + r))
-    out.block_until_ready()
+        _ = np.asarray(run(cond, jax.random.PRNGKey(3 + r))[0, 0, :2])
     dt = (time.perf_counter() - t0) / reps
 
     # CFG doubles the forwards per step
