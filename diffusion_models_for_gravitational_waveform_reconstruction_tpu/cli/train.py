@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--streaming", action="store_true",
                    help="Lazy chunked HDF5 loading for larger-than-RAM "
                         "datasets (bounded host memory).")
+    p.add_argument("--no-device-data", action="store_true",
+                   help="Disable the device-resident dataset (on-device "
+                        "batch gather); falls back to per-step "
+                        "host->device transfers.")
     p.add_argument("--stream-chunk", type=int, default=512,
                    help="Samples whitened/prepared per streaming chunk.")
     p.add_argument("--whiten_mode", choices=["auto", "model", "welch", "train"],
@@ -134,6 +138,7 @@ def config_from_args(args) -> TrainConfig:
         init_from=args.init_from, save_every_epochs=args.save_every_epochs,
         resume=args.resume, profile_dir=args.profile_dir,
         streaming=args.streaming, stream_chunk=args.stream_chunk,
+        device_data=not args.no_device_data,
         tp=args.tp,
     )
 

@@ -605,6 +605,75 @@ def iterate_batches(
         yield {k: v[sel] for k, v in b.items()}
 
 
+def upload_buckets(ds, budget_bytes: int = 4 << 30):
+    """Upload every bucket's arrays to the default device ONCE.
+
+    Returns {L: {key: jax array}} or None if the dataset exceeds
+    ``budget_bytes`` (HBM guard) or is a streaming dataset.
+
+    Motivation (TPU-native + environment workaround, RESULTS.md "Host-memory
+    leak"): per-batch host->device transfers (a) serialize 6 MB/step through
+    the tunnel and (b) the axon client LEAKS every transferred buffer
+    host-side (~6 MB/batch, measured; OOM-kills any training run at ~140
+    epochs x 157 batches).  With the dataset resident in HBM, each step
+    moves only a ~KB index vector.
+    """
+    import jax.numpy as jnp
+
+    if not hasattr(ds, "buckets"):
+        return None
+    total = 0
+    for b in ds.buckets.values():
+        for v in b.values():
+            if isinstance(v, np.ndarray):
+                total += v.nbytes
+    if total > budget_bytes:
+        return None
+    return {
+        Lb: {k: jnp.asarray(v) for k, v in b.items()
+             if isinstance(v, np.ndarray) and k != "index"}
+        for Lb, b in ds.buckets.items()
+    }
+
+
+def device_resident_batches(
+    ds,
+    batch_size: int,
+    rng: np.random.Generator,
+    dev_buckets,
+    shuffle: bool = True,
+    drop_remainder: bool = False,
+    sharding=None,
+):
+    """Epoch iterator over :func:`upload_buckets` output: identical batch
+    schedule and contents as :func:`iterate_batches` (same rng consumption),
+    but batches are gathered ON DEVICE from the resident buckets."""
+    import jax
+    import jax.numpy as jnp
+
+    order = []
+    for Lb in ds.bucket_lengths:
+        N = ds.buckets[Lb]["sigma"].shape[0]
+        idx = rng.permutation(N) if shuffle else np.arange(N)
+        n_batches = N // batch_size if drop_remainder else -(-N // batch_size)
+        for bi in range(n_batches):
+            sel = idx[bi * batch_size:(bi + 1) * batch_size]
+            if len(sel) < batch_size:
+                fill = idx[: batch_size - len(sel)]
+                sel = np.concatenate([sel, fill])
+            order.append((Lb, sel))
+    if shuffle:
+        rng.shuffle(order)
+    for Lb, sel in order:
+        dev = dev_buckets[Lb]
+        sel_d = jnp.asarray(sel)
+        batch = {k: jnp.take(v, sel_d, axis=0) for k, v in dev.items()}
+        if sharding is not None:
+            batch = {k: jax.device_put(v, sharding)
+                     for k, v in batch.items()}
+        yield batch
+
+
 def synthetic_dataset(
     n: int,
     *,

@@ -119,6 +119,11 @@ class TrainConfig:
                                         # than-RAM datasets); see
                                         # data.pipeline.StreamingDataset
     stream_chunk: int = 512             # samples prepared per chunk
+    device_data: bool = True            # keep the bucketed dataset resident
+                                        # in HBM and gather batches on-device
+                                        # (zero per-step H2D; also avoids the
+                                        # axon client's per-transfer host
+                                        # leak — see pipeline.upload_buckets)
 
     # compute
     bf16: bool = True                   # bf16 activations (TPU-native AMP)
@@ -588,6 +593,15 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
               f"t < {int(cfg.t_min_frac * cfg.T)} will be untrained; "
               f"full-range sampling from noise requires t_min_frac=0")
 
+    dev_buckets = None
+    if cfg.device_data and not cfg.streaming:
+        dev_buckets = dpipe.upload_buckets(dataset)
+        if dev_buckets is not None:
+            mb = sum(v.nbytes for b in dev_buckets.values()
+                     for v in b.values()) / 1e6
+            print(f"[train] dataset resident on device ({mb:.0f} MB); "
+                  f"on-device batch gather (no per-step H2D)")
+
     history = []
     global_step = (start_epoch - 1) * n_batches
     profiling = False
@@ -601,9 +615,13 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
         sum_loss_w, sum_w, batch_losses, skipped = 0.0, 0, [], 0
         t_epoch0 = time.time()
         sharding = pmesh.batch_sharding(mesh) if mesh is not None else None
-        batches = dpipe.prefetch_to_device(
-            dpipe.iterate_batches(dataset, cfg.batch_size, rng),
-            size=2, sharding=sharding)
+        if dev_buckets is not None:
+            batches = dpipe.device_resident_batches(
+                dataset, cfg.batch_size, rng, dev_buckets, sharding=sharding)
+        else:
+            batches = dpipe.prefetch_to_device(
+                dpipe.iterate_batches(dataset, cfg.batch_size, rng),
+                size=2, sharding=sharding)
         pending = []   # deferred metric fetch: no per-step host sync
         for i, jb in enumerate(batches):
             if cfg.profile_dir and global_step == cfg.profile_steps[0]:

@@ -170,3 +170,51 @@ def test_streaming_train_e2e(ragged_h5):
         )
         out = train(cfg)
         assert np.isfinite(out["history"][-1]["avg_per_sample"])
+
+
+def test_device_resident_batches_match_host_path():
+    """upload_buckets + device_resident_batches must reproduce EXACTLY the
+    batch schedule and contents of iterate_batches under the same rng seed
+    (the trainer switches between them transparently)."""
+    import numpy as np
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.pipeline import (
+        dataset_from_arrays,
+        device_resident_batches,
+        iterate_batches,
+        upload_buckets,
+    )
+
+    rng0 = np.random.default_rng(7)
+    clean = rng0.normal(size=(13, 64)).astype(np.float32)
+    noisy = clean + rng0.normal(size=(13, 64)).astype(np.float32)
+    ds = dataset_from_arrays(clean, noisy, fs=64.0)
+
+    dev = upload_buckets(ds)
+    assert dev is not None
+    host = list(iterate_batches(ds, 4, np.random.default_rng(3)))
+    devb = list(device_resident_batches(ds, 4, np.random.default_rng(3), dev))
+    assert len(host) == len(devb)
+    for hb, db in zip(host, devb):
+        for k in hb:
+            if k == "index":
+                continue
+            np.testing.assert_array_equal(hb[k], np.asarray(db[k]), err_msg=k)
+
+
+def test_upload_buckets_budget_guard_and_streaming():
+    import numpy as np
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.pipeline import (
+        dataset_from_arrays,
+        upload_buckets,
+    )
+
+    clean = np.zeros((4, 64), np.float32)
+    ds = dataset_from_arrays(clean, clean.copy(), fs=64.0)
+    assert upload_buckets(ds, budget_bytes=1) is None       # too big -> host path
+
+    class FakeStreaming:
+        pass
+
+    assert upload_buckets(FakeStreaming()) is None           # no .buckets
