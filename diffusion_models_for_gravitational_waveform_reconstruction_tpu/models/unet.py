@@ -216,7 +216,8 @@ class BottleneckAttention(nn.Module):
         d_head = C // heads
         blk = 512 if L % 512 == 0 else (256 if L % 256 == 0 else 0)
         # measured on v5e (tools/bench_kernels.py): the Pallas flash kernel
-        # beats XLA 2-3x at L >= 4096 (16 kHz long-segment bottlenecks) but
+        # beats XLA 1.35-2.4x at L >= 4096 (16 kHz long-segment bottlenecks;
+        # fetch-forced timing, RESULTS.md) but
         # loses below — XLA's materialised attention is fine for small L.
         if self.use_pallas and blk and d_head % 8 == 0 and L >= 4096:
             from ..ops.pallas.attention import flash_attention
