@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--engine", choices=["jax", "pycbc"], default="jax",
                    help="Waveform engine: batched on-device JAX chirps, or "
                         "host-side PyCBC SEOBNRv4 (requires pycbc installed).")
+    g.add_argument("--approximant", choices=["pn", "newtonian"], default="pn",
+                   help="JAX-engine waveform model: 'pn' = 3.5PN aligned-"
+                        "spin phasing with Kerr-ISCO termination (spins "
+                        "shape the waveform, like the reference's SEOBNRv4); "
+                        "'newtonian' = legacy 0PN chirp.")
 
     gf = p.add_argument_group("Fixed mode")
     gf.add_argument("--mass1", type=float, default=20.0)
@@ -246,16 +251,32 @@ def generate_jax(specs: List[dict], args) -> Dict[int, dict]:
     from ..data.synth import PSD_SCALE, SynthConfig, generate_batch
 
     fs = int(args.sampling_rate)
+    approximant = getattr(args, "approximant", "pn")
     by_len: Dict[int, List[int]] = {}
-    for i, s in enumerate(specs):
-        n = bucket_length(s["m1"], s["m2"], args.f_lower, fs)
-        by_len.setdefault(n, []).append(i)
+    if approximant == "pn":
+        # PN durations are spin- and PN-order-dependent (1PN lengthens
+        # heavy systems ~20% over the Newtonian estimate; aligned spin
+        # lengthens further) — bucket on the actual tau, one vectorized call
+        from ..data.pn import pn_duration
+        durs = np.asarray(pn_duration(
+            jnp.asarray([s["m1"] for s in specs]),
+            jnp.asarray([s["m2"] for s in specs]),
+            jnp.asarray([s["s1"] for s in specs]),
+            jnp.asarray([s["s2"] for s in specs]),
+            args.f_lower))
+        for i, d in enumerate(durs):
+            n = max(1024, next_pow2(int(np.ceil((d + 0.35 + 0.05) * fs))))
+            by_len.setdefault(n, []).append(i)
+    else:
+        for i, s in enumerate(specs):
+            n = bucket_length(s["m1"], s["m2"], args.f_lower, fs)
+            by_len.setdefault(n, []).append(i)
 
     key = jax.random.PRNGKey(args.seed)
     out: Dict[int, dict] = {}
     for n, idxs in sorted(by_len.items()):
         cfg = SynthConfig(n=n, fs=fs, f_lower=args.f_lower,
-                          distance=args.distance)
+                          distance=args.distance, engine=approximant)
         print(f"[gen] bucket n={n} ({n / fs:.2f}s): {len(idxs)} samples")
         for c0 in range(0, len(idxs), args.chunk):
             chunk = idxs[c0:c0 + args.chunk]
@@ -263,7 +284,9 @@ def generate_jax(specs: List[dict], args) -> Dict[int, dict]:
             m1 = jnp.asarray([specs[i]["m1"] for i in chunk])
             m2 = jnp.asarray([specs[i]["m2"] for i in chunk])
             snr = jnp.asarray([specs[i]["snr"] for i in chunk])
-            res = generate_batch(k, m1, m2, snr, config=cfg)
+            s1 = jnp.asarray([specs[i]["s1"] for i in chunk])
+            s2 = jnp.asarray([specs[i]["s2"] for i in chunk])
+            res = generate_batch(k, m1, m2, snr, s1, s2, config=cfg)
             sig = np.asarray(res["signal"])
             noi = np.asarray(res["noise"])
             nsy = np.asarray(res["noisy"])
@@ -285,7 +308,7 @@ def generate_pycbc(specs: List[dict], args) -> Dict[int, dict]:
         from pycbc.noise import noise_from_psd
         from pycbc.psd import aLIGOZeroDetHighPower
         from pycbc.waveform import get_td_waveform
-    except ImportError as e:  # pragma: no cover - env without pycbc
+    except ImportError as e:
         raise SystemExit(
             "--engine pycbc requires the 'pycbc' package, which is not "
             "installed in this environment; use --engine jax") from e
@@ -296,7 +319,7 @@ def generate_pycbc(specs: List[dict], args) -> Dict[int, dict]:
     rng = np.random.default_rng(args.seed)
     out: Dict[int, dict] = {}
     psd_cache: Dict[int, object] = {}
-    for i, s in enumerate(specs):  # pragma: no cover - needs pycbc
+    for i, s in enumerate(specs):
         hp, hc = get_td_waveform(approximant="SEOBNRv4",
                                  mass1=s["m1"], mass2=s["m2"],
                                  spin1z=s["s1"], spin2z=s["s2"],

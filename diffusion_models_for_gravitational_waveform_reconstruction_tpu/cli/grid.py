@@ -61,7 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "model", "welch", "train"], default=None)
     d.add_argument("--sigma-mode", choices=["std", "mad", "fixed"],
                    default=None)
-    d.add_argument("--sigma-fixed", type=float, default=1.0)
+    d.add_argument("--sigma-fixed", type=float, default=None,
+                   help="Default: inherited from the checkpoint.")
 
     w = p.add_argument_group("Scoring")
     w.add_argument("--unordered", action="store_true",
@@ -109,6 +110,10 @@ def _inherit_domain_flags(args, ck: dict) -> None:
         args.whiten_mode = str(ck.get("whiten_mode", "auto"))
     if args.sigma_mode is None:
         args.sigma_mode = str(ck.get("sigma_mode", "std"))
+    if args.sigma_fixed is None:
+        # a 'fixed'-sigma checkpoint evaluated with the default 1.0 would be
+        # a silent domain mismatch (ADVICE r2)
+        args.sigma_fixed = float(ck.get("sigma_fixed", 1.0))
 
 
 def main(argv: Optional[List[str]] = None) -> None:

@@ -31,7 +31,20 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "model", "welch", "train"], default=None)
     p.add_argument("--sigma-mode", choices=["std", "mad", "fixed"],
                    default=None)
-    p.add_argument("--sigma-fixed", type=float, default=1.0)
+    p.add_argument("--sigma-fixed", type=float, default=None,
+                   help="Default: inherited from the checkpoint.")
+
+    v = p.add_argument_group("Validation gate")
+    v.add_argument("--val-samples", type=int, default=16,
+                   help="Score the winning combo vs reference-default knobs "
+                        "on this many HELD-OUT samples before emitting "
+                        "best_cmd.txt; the losing combo is never shipped "
+                        "(few-sample sweeps demonstrably overfit). 0 "
+                        "disables the gate.")
+    v.add_argument("--val-indices", type=int, nargs="+", default=None,
+                   help="Explicit held-out sample indices for the gate "
+                        "(default: first --val-samples indices disjoint "
+                        "from --indices).")
 
     g = p.add_argument_group("Grid mode")
     p.add_argument("--grid", action="store_true",

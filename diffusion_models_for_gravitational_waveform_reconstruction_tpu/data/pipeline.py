@@ -412,8 +412,16 @@ class StreamingDataset:
             self.fs = hdf5io.read_sampling_rate(f)
             if "lengths" in f:
                 lengths = np.asarray(f["lengths"][:], np.int64)
-            else:  # schema tolerance: derive from the vlen rows
-                lengths = np.array([len(r) for r in f["noisy"][:]], np.int64)
+            else:
+                # schema tolerance: derive from the vlen rows LAZILY —
+                # slicing the whole vlen dataset ([:]) would materialise
+                # the entire ragged file in host RAM, defeating streaming
+                # on exactly the larger-than-RAM files it targets (ADVICE
+                # r2).  Per-row reads keep peak memory at one sample.
+                noisy_ds = f["noisy"]
+                lengths = np.fromiter(
+                    (len(noisy_ds[i]) for i in range(n_total)),
+                    dtype=np.int64, count=n_total)
             has_model = ("psd_model" in f) or ("psd" in f)
             self._psd_key = "psd_model" if "psd_model" in f else (
                 "psd" if "psd" in f else None)
@@ -684,6 +692,8 @@ def synthetic_dataset(
     mass_max: float = 50.0,
     snr_min: float = 8.0,
     snr_max: float = 30.0,
+    spin_min: float = 0.0,
+    spin_max: float = 0.0,
     whiten: bool = True,
     sigma_mode: str = "std",
     chunk: int = 256,
@@ -710,6 +720,8 @@ def synthetic_dataset(
     m1 = np.maximum(a, b)
     m2 = np.minimum(a, b)
     snr = rng.uniform(snr_min, snr_max, size=n)
+    s1 = rng.uniform(spin_min, spin_max, size=n)
+    s2 = rng.uniform(spin_min, spin_max, size=n)
 
     clean_l, noisy_l = [], []
     w = None
@@ -717,7 +729,8 @@ def synthetic_dataset(
         key, k = jax.random.split(key)
         sl = slice(c0, min(n, c0 + chunk))
         out = synth.generate_batch(k, jnp.asarray(m1[sl]), jnp.asarray(m2[sl]),
-                                   jnp.asarray(snr[sl]), config=cfg)
+                                   jnp.asarray(snr[sl]), jnp.asarray(s1[sl]),
+                                   jnp.asarray(s2[sl]), config=cfg)
         if whiten:
             # whiten with the scaled generation PSD on device (the joint
             # strain/PSD scaling cancels inside the whitening ratio up to
@@ -735,8 +748,7 @@ def synthetic_dataset(
     clean = np.concatenate(clean_l).astype(np.float32)
     noisy = np.concatenate(noisy_l).astype(np.float32)
     M = max(float(np.percentile(np.concatenate([m1, m2]), 95)), 1e-9)
-    meta = np.stack([m1 / M, m2 / M, np.zeros(n), np.zeros(n)],
-                    axis=1).astype(np.float32)
+    meta = np.stack([m1 / M, m2 / M, s1, s2], axis=1).astype(np.float32)
     ds = dataset_from_arrays(clean, noisy, fs=float(fs), meta=meta,
                              sigma_mode=sigma_mode,
                              meta_scale={"M": M, "q": 10.0})

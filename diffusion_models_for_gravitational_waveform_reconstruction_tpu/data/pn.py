@@ -1,0 +1,343 @@
+"""3.5PN spin-dependent inspiral waveforms (TaylorT2-style), pure JAX.
+
+Upgrades the framework's waveform engine from the restricted 0PN chirp in
+``data/synth.py`` to post-Newtonian phasing with aligned-spin effects, so the
+``spin1z``/``spin2z`` conditioning channels carry real signal — the TPU-native
+stand-in for the reference's SEOBNRv4 generation
+(``/root/reference/src/snr_denoising/gen.py:70-79``, spins passed at 74-75).
+
+Construction
+------------
+Start from the standard **TaylorF2 stationary-phase series** (Buonanno, Iyer,
+Ochsner, Pan & Sathyaprakash 2009, PRD 80 084043, Eq. 3.18; LALSimulation
+``XLALSimInspiralPNCoefficients``), with v = (pi M f)^(1/3):
+
+    Psi(f) = 2 pi f t_c - phi_c - pi/4 + psi(v)
+    psi(v) = 3/(128 eta v^5) * sum_k c_k v^k        (k = 0,2,3,4,5L,6L,7)
+
+including the leading aligned-spin terms: spin-orbit ``beta`` at 1.5PN and
+spin-spin ``sigma`` at 2PN (Poisson & Will 1995, PRD 52 848, Eqs. 3.3-3.8).
+The time-domain phasing follows exactly from the stationary-phase relations
+
+    t(f)   = (1/2pi) dPsi/df        =>  tau(v) = t_c - t = -(M/(6 v^2)) psi'(v)
+    Phi(f) = 2 pi f t(f) - Psi(f) - pi/4
+           = phi_c - 2 pi f tau(v) - psi(v)
+
+which reproduce the classic TaylorT2 expansions (checked in tests against an
+independent sympy derivation and against jax.grad of psi).  These relations
+also make dPhi/dt = 2 pi f(t) hold *identically* at any truncation order, so
+the instantaneous frequency is exactly consistent with the phase.
+
+Waveform assembly (all static shapes, fully jit/vmap-able):
+
+1. spin-dependent termination: Kerr ISCO of the aligned effective spin
+   chi_eff = (m1 chi1 + m2 chi2)/M via the Bardeen-Press-Teukolsky r_isco
+   formula, clipped to the band and to the largest v on which tau(v) is
+   monotone (runtime grid check — the PN series turns over near merger);
+2. per-sample Newton inversion of tau(v) on the uniform time grid (Newtonian
+   closed form as the initial iterate; ~8 safeguarded iterations, pure
+   elementwise math on the VPU — no data-dependent control flow);
+3. restricted (0PN) amplitude A = (4/D) Mc^(5/3) (pi f)^(2/3) on both
+   polarizations, matched exponentially-damped ringdown at the termination
+   frequency, and the same half-Hann turn-on at the f_lower crossing as the
+   Newtonian engine.
+
+Scope: aligned spins only (beta, sigma), restricted amplitude, through 3.5PN
+in phase.  This is TaylorT2-class physics, not an EOB merger model — but the
+phasing now responds to masses AND spins the way matched-filter pipelines
+expect, and termination/duration are spin-dependent.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# geometric unit conversions (same values as data/synth.py; duplicated to
+# keep this module import-cycle-free — synth.py imports pn.py)
+MSUN_S = 4.925490947641267e-06    # G * Msun / c^3  [seconds]
+MPC_S = 1.02927125054339e14       # 1 Mpc / c       [seconds]
+
+EULER_GAMMA = 0.5772156649015329
+
+_LN4 = 1.3862943611198906
+
+
+# ---------------------------------------------------------------------------
+# Mass / spin parameter combinations
+# ---------------------------------------------------------------------------
+
+def mass_params(m1, m2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Total mass in seconds and symmetric mass ratio eta."""
+    M = m1 + m2
+    eta = (m1 * m2) / (M * M)
+    return M * MSUN_S, eta
+
+
+def spin_phasing_params(m1, m2, chi1, chi2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aligned-spin phasing parameters (beta, sigma).
+
+    beta: 1.5PN spin-orbit, beta = (1/12) sum_i [113 (m_i/M)^2 + 75 eta] chi_i
+    sigma: 2PN spin-spin (aligned), sigma = (79/8) eta chi1 chi2
+    (Poisson & Will 1995; equivalently beta = (113/12)[(1-76 eta/113) chi_s
+    + delta chi_a] in the symmetric/antisymmetric basis.)
+    """
+    M = m1 + m2
+    eta = (m1 * m2) / (M * M)
+    x1 = m1 / M
+    x2 = m2 / M
+    beta = ((113.0 * x1 * x1 + 75.0 * eta) * chi1
+            + (113.0 * x2 * x2 + 75.0 * eta) * chi2) / 12.0
+    sigma = (79.0 / 8.0) * eta * chi1 * chi2
+    return beta, sigma
+
+
+def chi_eff(m1, m2, chi1, chi2) -> jnp.ndarray:
+    """Mass-weighted aligned effective spin."""
+    M = m1 + m2
+    return (m1 * chi1 + m2 * chi2) / M
+
+
+def kerr_isco_f_gw(m1, m2, chi) -> jnp.ndarray:
+    """GW frequency (= 2 x orbital) of the Kerr ISCO for spin chi.
+
+    Bardeen-Press-Teukolsky: with Z1 = 1 + (1-chi^2)^(1/3)[(1+chi)^(1/3)
+    + (1-chi)^(1/3)], Z2 = sqrt(3 chi^2 + Z1^2),
+    r_isco/M = 3 + Z2 -+ sqrt((3-Z1)(3+Z1+2Z2))  (prograde: minus sign).
+    Orbital frequency M Omega = 1/(r^(3/2) + chi);  f_gw = Omega/pi.
+    chi=0 reduces to the Schwarzschild ISCO (r=6M), matching
+    ``synth.isco_frequency``.
+    """
+    M_s = (m1 + m2) * MSUN_S
+    a = jnp.clip(chi, -0.998, 0.998)
+    one_m = jnp.maximum(1.0 - a * a, 1e-9)
+    z1 = 1.0 + jnp.cbrt(one_m) * (jnp.cbrt(1.0 + a) + jnp.cbrt(1.0 - a))
+    z2 = jnp.sqrt(3.0 * a * a + z1 * z1)
+    root = jnp.sqrt(jnp.maximum((3.0 - z1) * (3.0 + z1 + 2.0 * z2), 0.0))
+    r = 3.0 + z2 - jnp.sign(a) * root
+    m_omega = 1.0 / (jnp.power(r, 1.5) + a)
+    return m_omega / (jnp.pi * M_s)
+
+
+# ---------------------------------------------------------------------------
+# 3.5PN phasing series and its SPA-derived tau / Phi
+# ---------------------------------------------------------------------------
+
+def _coeffs(eta, beta, sigma):
+    """TaylorF2 phasing coefficients c_k (k=2,3,4,5,6,7); c5/c6 carry ln v
+    split into (constant, ln-v slope) parts."""
+    pi = jnp.pi
+    c2 = 3715.0 / 756.0 + 55.0 * eta / 9.0
+    c3 = 4.0 * beta - 16.0 * pi
+    c4 = (15293365.0 / 508032.0 + 27145.0 * eta / 504.0
+          + 3085.0 * eta * eta / 72.0 - 10.0 * sigma)
+    a5 = pi * (38645.0 / 756.0 - 65.0 * eta / 9.0)
+    # c5(v) = a5 * (1 + 3 ln v)
+    c6_const = (11583231236531.0 / 4694215680.0 - 640.0 * pi * pi / 3.0
+                - 6848.0 * (EULER_GAMMA + _LN4) / 21.0
+                + (-15737765635.0 / 3048192.0 + 2255.0 * pi * pi / 12.0) * eta
+                + 76055.0 * eta * eta / 1728.0
+                - 127825.0 * eta * eta * eta / 1296.0)
+    c6_ln = -6848.0 / 21.0          # c6(v) = c6_const + c6_ln * ln v
+    c7 = pi * (77096675.0 / 254016.0 + 378515.0 * eta / 1512.0
+               - 74045.0 * eta * eta / 756.0)
+    return c2, c3, c4, a5, c6_const, c6_ln, c7
+
+
+def psi_of_v(v, eta, beta, sigma):
+    """SPA phasing psi(v) = 3/(128 eta v^5) sum_k c_k v^k (3.5PN, aligned
+    spin)."""
+    c2, c3, c4, a5, c6c, c6l, c7 = _coeffs(eta, beta, sigma)
+    lv = jnp.log(v)
+    series = (1.0 + c2 * v ** 2 + c3 * v ** 3 + c4 * v ** 4
+              + a5 * (1.0 + 3.0 * lv) * v ** 5
+              + (c6c + c6l * lv) * v ** 6
+              + c7 * v ** 7)
+    return 3.0 / (128.0 * eta) * series / v ** 5
+
+
+def tau_of_v(v, M_s, eta, beta, sigma):
+    """Time to coalescence tau(v) = -(M/(6 v^2)) dpsi/dv (analytic).
+
+    Newtonian limit: 5 M / (256 eta v^8).  The 1PN/2PN terms reproduce the
+    published TaylorT2 coefficients (743/252 + 11 eta/3, etc.) — verified in
+    tests against sympy differentiation of an independently-typed psi.
+    """
+    c2, c3, c4, a5, c6c, c6l, c7 = _coeffs(eta, beta, sigma)
+    lv = jnp.log(v)
+    bracket = (5.0 / v ** 8
+               + 3.0 * c2 / v ** 6
+               + 2.0 * c3 / v ** 5
+               + c4 / v ** 4
+               - 3.0 * a5 / v ** 3
+               - (c6c + c6l * lv + c6l) / v ** 2
+               - 2.0 * c7 / v)
+    return (M_s / (256.0 * eta)) * bracket
+
+
+def phase_of_v(v, M_s, eta, beta, sigma):
+    """GW phase relative to coalescence: Phi(v) - phi_c = -2 pi f tau - psi.
+
+    Together with ``tau_of_v`` this satisfies dPhi/dt = 2 pi f identically
+    (SPA consistency), with f = v^3 / (pi M).
+    """
+    f = v ** 3 / (jnp.pi * M_s)
+    return (-2.0 * jnp.pi * f * tau_of_v(v, M_s, eta, beta, sigma)
+            - psi_of_v(v, eta, beta, sigma))
+
+
+def _dtau_dv(v, M_s, eta, beta, sigma):
+    """Analytic d tau / dv (for Newton inversion)."""
+    c2, c3, c4, a5, c6c, c6l, c7 = _coeffs(eta, beta, sigma)
+    lv = jnp.log(v)
+    bracket = (-40.0 / v ** 9
+               - 18.0 * c2 / v ** 7
+               - 10.0 * c3 / v ** 6
+               - 4.0 * c4 / v ** 5
+               + 9.0 * a5 / v ** 4
+               + (2.0 * (c6c + c6l * lv + c6l) - c6l) / v ** 3
+               + 2.0 * c7 / v ** 2)
+    return (M_s / (256.0 * eta)) * bracket
+
+
+def monotone_v_term(v_min, v_cand, M_s, eta, beta, sigma, npts: int = 64):
+    """Largest v <= v_cand with tau'(v) < 0 on [v_min, v], via a grid scan.
+
+    The truncated PN tau(v) can turn over below the Kerr ISCO for extreme
+    parameters; terminating at the turnover keeps the Newton inversion
+    well-posed.  Grid scan is jit-safe (no data-dependent shapes).
+    """
+    frac = jnp.linspace(0.0, 1.0, npts)
+    vg = v_min + (v_cand - v_min) * frac
+    d = _dtau_dv(vg, M_s, eta, beta, sigma)
+    bad = d >= 0.0
+    any_bad = jnp.any(bad)
+    first_bad = jnp.argmax(bad)          # index of first non-monotone point
+    # step back one grid point from the turnover (with a tiny safety factor)
+    idx = jnp.maximum(first_bad - 1, 1)
+    v_safe = vg[idx] * 0.999
+    return jnp.where(any_bad, v_safe, v_cand)
+
+
+def invert_tau(tau_target, M_s, eta, beta, sigma, v_min, v_max,
+               iters: int = 10):
+    """Solve tau(v) = tau_target elementwise by safeguarded Newton.
+
+    ``tau_target`` may be any shape; v_min/v_max are scalars bounding the
+    monotone branch.  Initial iterate is the Newtonian closed form
+    v = (5M/(256 eta tau))^(1/8); convergence is quadratic (typically <=5
+    iterations to f32 roundoff).
+    """
+    tau_floor = jnp.maximum(tau_target, 1e-8)
+    v0 = jnp.power(5.0 * M_s / (256.0 * eta * tau_floor), 0.125)
+    v0 = jnp.clip(v0, v_min, v_max)
+
+    def body(_, v):
+        t = tau_of_v(v, M_s, eta, beta, sigma)
+        d = _dtau_dv(v, M_s, eta, beta, sigma)
+        d = jnp.minimum(d, -1e-12)          # tau is decreasing on the branch
+        v_new = v - (t - tau_target) / d
+        return jnp.clip(v_new, v_min, v_max)
+
+    return jax.lax.fori_loop(0, iters, body, v0)
+
+
+# ---------------------------------------------------------------------------
+# Duration (for bucketing) and the full chirp
+# ---------------------------------------------------------------------------
+
+def pn_duration(m1, m2, chi1, chi2, f_lower: float = 20.0):
+    """tau at the f_lower crossing — PN chirp duration in seconds.
+
+    Vectorized over leading dims; used by the gen CLI for length bucketing
+    (the 1PN term lengthens heavy systems ~20% over the Newtonian estimate).
+    """
+    M_s, eta = mass_params(m1, m2)
+    beta, sigma = spin_phasing_params(m1, m2, chi1, chi2)
+    v_low = jnp.cbrt(jnp.pi * M_s * f_lower)
+    f_term = kerr_isco_f_gw(m1, m2, chi_eff(m1, m2, chi1, chi2))
+    v_cand = jnp.cbrt(jnp.pi * M_s * jnp.maximum(f_term, 1.2 * f_lower))
+    v_low = jnp.minimum(v_low, 0.98 * v_cand)
+    return tau_of_v(v_low, M_s, eta, beta, sigma)
+
+
+@partial(jax.jit, static_argnames=("n", "fs"))
+def pn_chirp(
+    m1: jnp.ndarray,
+    m2: jnp.ndarray,
+    chi1: jnp.ndarray = 0.0,
+    chi2: jnp.ndarray = 0.0,
+    *,
+    n: int,
+    fs: int,
+    distance: float = 410.0,
+    f_lower: float = 20.0,
+    phi_c: float = 0.0,
+    inclination: float = 0.0,
+    fplus: float = 1.0,
+    fcross: float = 0.0,
+    t_post: float = 0.05,
+    ringdown_damp: float = 12.0,
+) -> jnp.ndarray:
+    """Fixed-length detector-frame 3.5PN aligned-spin chirp.
+
+    Drop-in counterpart of ``synth.newtonian_chirp`` with identical segment
+    conventions: coalescence ``t_post`` seconds before the segment end,
+    half-Hann turn-on at the f_lower crossing, damped-sinusoid ringdown
+    matched in amplitude and phase at the (spin-dependent) termination.
+    Returns h (n,) float32.
+    """
+    dt = 1.0 / fs
+    M_s, eta = mass_params(m1, m2)
+    mc_s = jnp.power(eta, 0.6) * M_s
+    d_s = distance * MPC_S
+    beta, sigma = spin_phasing_params(m1, m2, chi1, chi2)
+
+    # spin-dependent termination, kept in band and on the monotone branch
+    f_term = kerr_isco_f_gw(m1, m2, chi_eff(m1, m2, chi1, chi2))
+    f_term = jnp.clip(f_term, 1.2 * f_lower, 0.45 * fs)
+    v_cand = jnp.cbrt(jnp.pi * M_s * f_term)
+    v_min = jnp.cbrt(jnp.pi * M_s * (0.5 * f_lower))
+    v_term = monotone_v_term(v_min, v_cand, M_s, eta, beta, sigma)
+    tau_term = tau_of_v(v_term, M_s, eta, beta, sigma)
+    f_term = v_term ** 3 / (jnp.pi * M_s)
+
+    t = jnp.arange(n) * dt
+    t_c = (n - 1) * dt - t_post
+    tau = t_c - t
+    tau_eff = jnp.maximum(tau, tau_term)
+
+    v = invert_tau(tau_eff, M_s, eta, beta, sigma, v_min, v_term)
+    f_t = v ** 3 / (jnp.pi * M_s)
+    phase = phi_c + phase_of_v(v, M_s, eta, beta, sigma)
+    amp = (4.0 / d_s) * jnp.power(mc_s, 5.0 / 3.0) * jnp.power(
+        jnp.pi * f_t, 2.0 / 3.0)
+
+    ci = jnp.cos(inclination)
+    hp = amp * (1.0 + ci * ci) / 2.0 * jnp.cos(phase)
+    hc = amp * ci * jnp.sin(phase)
+    h_insp = fplus * hp + fcross * hc
+
+    # matched ringdown at the termination frequency
+    t_term = t_c - tau_term
+    phase_term = phi_c + phase_of_v(v_term, M_s, eta, beta, sigma)
+    amp_term = (4.0 / d_s) * jnp.power(mc_s, 5.0 / 3.0) * jnp.power(
+        jnp.pi * f_term, 2.0 / 3.0)
+    tau_rd = ringdown_damp / (2.0 * jnp.pi * f_term)
+    dt_rd = jnp.maximum(t - t_term, 0.0)
+    ph_rd = phase_term + 2.0 * jnp.pi * f_term * dt_rd
+    decay = amp_term * jnp.exp(-dt_rd / tau_rd)
+    h_rd = (fplus * decay * (1.0 + ci * ci) / 2.0 * jnp.cos(ph_rd)
+            + fcross * decay * ci * jnp.sin(ph_rd))
+
+    h = jnp.where(tau > tau_term, h_insp, h_rd)
+
+    # half-Hann turn-on at the f_lower crossing (same as newtonian_chirp)
+    v_low = jnp.minimum(jnp.cbrt(jnp.pi * M_s * f_lower), 0.98 * v_term)
+    tau_start = tau_of_v(v_low, M_s, eta, beta, sigma)
+    t_start = t_c - tau_start
+    ramp = jnp.clip((t - t_start) / 0.25, 0.0, 1.0)
+    window = 0.5 - 0.5 * jnp.cos(jnp.pi * ramp)
+    return (h * window).astype(jnp.float32)

@@ -8,8 +8,14 @@ vmappable JAX functions (PyCBC is not a dependency of this framework; the
 host generator CLI uses it only if it happens to be installed, see
 ``data/gen.py``).
 
-Physics model (deliberately simple but with the same *interfaces* and the
-same matched-filter machinery):
+Physics model: the default engine is the 3.5PN aligned-spin TaylorT2-class
+waveform in ``data/pn.py`` (spin-orbit + spin-spin phasing, Kerr-ISCO
+termination — so ``spin1z``/``spin2z`` shape the waveform the way they do in
+the reference's SEOBNRv4 call).  ``SynthConfig(engine="newtonian")`` keeps
+the original restricted 0PN chirp described below; the PSD / matched-filter
+/ colored-noise machinery is shared by both engines.
+
+Legacy 0PN model (``engine="newtonian"``):
 
 - restricted quadrupole (Newtonian / 0PN) inspiral chirp in closed form:
     f(tau)   = (1/pi) * (5/(256 tau))^(3/8) * Mc^(-5/8)
@@ -282,6 +288,10 @@ class SynthConfig:
     ra: float = 0.0
     dec: float = 0.0
     polarization: float = 0.0
+    # waveform engine: "pn" = 3.5PN aligned-spin phasing (data/pn.py, the
+    # default — spins shape the waveform as in the reference's SEOBNRv4
+    # path); "newtonian" = the legacy 0PN chirp (spin-degenerate).
+    engine: str = "pn"
 
 
 def generate_sample(
@@ -298,9 +308,11 @@ def generate_sample(
 
     Mirrors ``generate_ligo_waveform`` (ref ``gen.py:48-138``): waveform ->
     detector projection -> design PSD -> sigma-scale to target SNR -> add
-    colored noise.  Spins are accepted for metadata/API parity; the 0PN
-    amplitude model does not use them (the reference notes label metadata
-    may differ from the physical generation inputs too).
+    colored noise.  With the default ``engine="pn"`` the aligned spins
+    ``spin1z``/``spin2z`` shape the phasing, duration and termination
+    frequency (3.5PN + spin-orbit/spin-spin, ``data/pn.py``), matching the
+    role spins play in the reference's SEOBNRv4 call (ref ``gen.py:70-79``);
+    ``engine="newtonian"`` keeps the legacy spin-degenerate 0PN chirp.
 
     Returns dict with float32 arrays 'signal', 'noise', 'noisy' of length n
     in PHYSICAL strain, 'psd' on the rfft grid in physical units x
@@ -309,10 +321,19 @@ def generate_sample(
     """
     c = config
     fp, fx = antenna_pattern(c.ra, c.dec, c.polarization)
-    h = newtonian_chirp(
-        m1, m2, n=c.n, fs=c.fs, distance=c.distance, f_lower=c.f_lower,
-        fplus=fp, fcross=fx,
-    )
+    if c.engine == "pn":
+        from . import pn as _pn
+        h = _pn.pn_chirp(
+            m1, m2, spin1z, spin2z, n=c.n, fs=c.fs, distance=c.distance,
+            f_lower=c.f_lower, fplus=fp, fcross=fx,
+        )
+    elif c.engine == "newtonian":
+        h = newtonian_chirp(
+            m1, m2, n=c.n, fs=c.fs, distance=c.distance, f_lower=c.f_lower,
+            fplus=fp, fcross=fx,
+        )
+    else:
+        raise ValueError(f"unknown SynthConfig.engine {c.engine!r}")
     freqs = jnp.fft.rfftfreq(c.n, 1.0 / c.fs)
     psd = aligo_zdhp_psd(freqs, c.f_lower)          # physical x PSD_SCALE
     current = matched_filter_sigma(h, psd, c.fs, c.f_lower)   # physical sigma
@@ -346,5 +367,7 @@ def generate_batch(
     if spin2z is None:
         spin2z = jnp.zeros(B)
     keys = jax.random.split(key, B)
-    fn = lambda k, a, b, s: generate_sample(k, a, b, s, config=config)
-    return jax.vmap(fn)(keys, m1, m2, target_snr)
+    fn = lambda k, a, b, s, s1, s2: generate_sample(
+        k, a, b, s, s1, s2, config=config)
+    return jax.vmap(fn)(keys, m1, m2, target_snr,
+                        jnp.asarray(spin1z), jnp.asarray(spin2z))

@@ -126,6 +126,7 @@ def eval_combo(
     key: jax.Array,
     sampler: str = "ddim",
     ladder: str = "t",
+    start_t_override: int | None = None,
 ) -> dict:
     """Evaluate one combo on all prepared samples (batched per length group).
 
@@ -133,7 +134,7 @@ def eval_combo(
     """
     use_selfcond = int(ck.get("in_ch", 3)) == (1 + int(ck.get("cond_in_ch", 1)) + 1)
     cfg = _sampler_config(combo, steps, schedule, ck, use_selfcond,
-                          ladder=ladder)
+                          ladder=ladder, start_t_override=start_t_override)
 
     by_len: Dict[int, List[int]] = {}
     for i, p in enumerate(preps):
@@ -197,13 +198,17 @@ def sample_combo(rng: np.random.Generator, args) -> Combo:
     )
 
 
-def best_cmd(args, combo: dict, steps: int) -> str:
+def best_cmd(args, combo: dict, steps: int,
+             start_t_override: int | None = None) -> str:
     """Replayable gw-infer command line (ref ``sweep_infer.py:265-283``)."""
+    start = (f"--start-t {int(start_t_override)}"
+             if start_t_override is not None
+             else f"--start-snr {combo['start_snr']:.4g}")
     return (
         f"gw-infer --input-h5 {args.input_h5} --index {args.indices[0]} "
         f"--model {args.model} --outdir {args.outdir}/best "
         f"--steps {steps} --eta {combo['eta']} "
-        f"--start-snr {combo['start_snr']:.4g} "
+        f"{start} "
         f"--init-mode {combo['init_mode']} --cfg-scale {combo['cfg_scale']:.4g} "
         f"--cfg-mode {combo['cfg_mode']} --cfg-center {combo['cfg_center']:.4g} "
         f"--cfg-width {combo['cfg_width']:.4g} --dc-weight {combo['dc_weight']:.4g} "
@@ -213,6 +218,79 @@ def best_cmd(args, combo: dict, steps: int) -> str:
            if getattr(args, "sampler", "ddim") != "ddim" else "")
         + (f" --ladder {args.ladder}" if getattr(args, "ladder", None) else "")
     )
+
+
+def default_combo() -> Combo:
+    """Reference-default sampler knobs (ref ``inference.py:529-571``):
+    cfg 1.5 const, eta 0, init from pure noise, no data consistency,
+    full-range start (start_t = T-1, applied via start_t_override)."""
+    return Combo(start_snr=0.0, cfg_scale=1.5, init_mode="noise",
+                 dc_weight=0.0, eta=0.0, cfg_mode="const")
+
+
+def validate_top(args, model, params, schedule, ck, top: dict, steps: int,
+                 key: jax.Array) -> dict:
+    """Held-out validation gate for the selected knobs (VERDICT r2 item 4).
+
+    Few-sample sweeps overfit: round-2 measured a 4-sample J=0.943 combo
+    scoring corr_macro 0.539 on the full held-out grid — WORSE than
+    reference-default knobs (0.73).  Before emitting ``best_cmd.txt``, score
+    the winning combo AND the reference-default knobs on ``--val-samples``
+    held-out samples (disjoint from the sweep indices); ship whichever wins.
+
+    Returns {enabled, emit_top, J_val_top, J_val_default, val_indices}.
+    """
+    n_val = int(getattr(args, "val_samples", 0) or 0)
+    if n_val <= 0:
+        return {"enabled": False, "emit_top": True}
+
+    val_indices = getattr(args, "val_indices", None)
+    if not val_indices:
+        import h5py
+        with h5py.File(args.input_h5, "r") as f:
+            n_total = int(f["noisy"].shape[0])
+        excluded = set(int(i) for i in args.indices)
+        val_indices = [i for i in range(n_total) if i not in excluded][:n_val]
+    if not val_indices:
+        print("[sweep] validation gate skipped: no held-out samples")
+        return {"enabled": False, "emit_top": True}
+
+    preps_val = prep_samples(args.input_h5, val_indices, ck, args.model,
+                             bool(args.whiten), args.whiten_mode,
+                             args.sigma_mode, args.sigma_fixed)
+    sampler = getattr(args, "sampler", "ddim")
+    ladder = (getattr(args, "ladder", None)
+              or ("lambda" if sampler == "dpmpp" else "t"))
+    key, k1, k2 = jax.random.split(key, 3)
+    r_top = eval_combo(model, params, schedule, ck, preps_val,
+                       Combo(**top["combo"]), steps, k1,
+                       sampler=sampler, ladder=ladder)
+    r_def = eval_combo(model, params, schedule, ck, preps_val,
+                       default_combo(), steps, k2,
+                       sampler=sampler, ladder=ladder,
+                       start_t_override=schedule.T - 1)
+    emit = bool(r_top["J"] >= r_def["J"])
+    print(f"[sweep] validation ({len(val_indices)} held-out samples): "
+          f"J_top={r_top['J']:.4f} vs J_default={r_def['J']:.4f} -> "
+          f"{'top knobs' if emit else 'DEFAULT knobs (top failed to beat '
+            'defaults out of sample)'}")
+    return {"enabled": True, "emit_top": emit,
+            "J_val_top": r_top["J"], "J_val_default": r_def["J"],
+            "val_indices": [int(i) for i in val_indices]}
+
+
+def _emit_best_cmd(args, model, params, schedule, ck, top, steps, key):
+    """Validation-gated best_cmd.txt emission shared by grid/random modes."""
+    val = validate_top(args, model, params, schedule, ck, top, steps, key)
+    if val.get("enabled"):
+        _dump(args.outdir, "validation.json", val)
+    with open(os.path.join(args.outdir, "best_cmd.txt"), "w") as fh:
+        if val.get("emit_top", True):
+            fh.write(best_cmd(args, top["combo"], steps) + "\n")
+        else:
+            fh.write(best_cmd(args, default_combo().to_dict(), steps,
+                              start_t_override=schedule.T - 1) + "\n")
+    return val
 
 
 def run_grid(args, model, params, schedule, ck, preps, key) -> dict:
@@ -246,8 +324,9 @@ def run_grid(args, model, params, schedule, ck, preps, key) -> dict:
     results.sort(key=lambda r: -r["J"])
     _dump(args.outdir, "grid_results.json", results)
     top = results[0]
-    with open(os.path.join(args.outdir, "best_cmd.txt"), "w") as fh:
-        fh.write(best_cmd(args, top["combo"], grid_steps) + "\n")
+    key, k_val = jax.random.split(key)
+    top["validation"] = _emit_best_cmd(args, model, params, schedule, ck,
+                                       top, grid_steps, k_val)
     return top
 
 
@@ -297,10 +376,11 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
               f"(+-{finals[-1]['J_std']:.4f}) {combo.to_dict()}")
 
     finals.sort(key=lambda r: -r["J"])
-    _dump(args.outdir, "final_results.json", finals)
     top = finals[0]
-    with open(os.path.join(args.outdir, "best_cmd.txt"), "w") as fh:
-        fh.write(best_cmd(args, top["combo"], args.steps_refine) + "\n")
+    key, k_val = jax.random.split(key)
+    top["validation"] = _emit_best_cmd(args, model, params, schedule, ck,
+                                       top, args.steps_refine, k_val)
+    _dump(args.outdir, "final_results.json", finals)
     return top
 
 

@@ -393,6 +393,65 @@ def make_probe_fn(model: UNet1D, schedule: DiffusionSchedule, cfg: TrainConfig):
     return probe
 
 
+def make_debug_x0_fn(model: UNet1D, schedule: DiffusionSchedule,
+                     cfg: TrainConfig):
+    """First-batch one-step-x0 quality probe (ref ``train.py:544-576``):
+    masked corr and MSE of the single-step x0 estimate against clean, in
+    both the sigma-normalised and the whitened domain, on sample 0."""
+    from ..ops.diffusion import eps_to_x0, v_to_x0_eps
+
+    @jax.jit
+    def dbg(params, clean, noisy, sigma, mask, meta, t_pick, key):
+        sigma_ = sigma.reshape(-1, 1, 1)
+        clean_norm = clean / sigma_
+        y_norm = noisy / sigma_
+        if cfg.clamp_inputs > 0:
+            clean_norm = jnp.clip(clean_norm, -cfg.clamp_inputs,
+                                  cfg.clamp_inputs)
+            y_norm = jnp.clip(y_norm, -cfg.clamp_inputs, cfg.clamp_inputs)
+        L = clean.shape[-1]
+        meta_bc = _broadcast_meta(meta, L) if meta is not None else None
+        cond = (jnp.concatenate([y_norm, meta_bc], axis=1)
+                if meta_bc is not None else y_norm)
+        B = clean.shape[0]
+        t = jnp.full((B,), t_pick, jnp.int32)
+        x_t, _eps = q_sample(schedule, clean_norm, t, key)
+        if cfg.clamp_inputs > 0:
+            x_t = jnp.clip(x_t, -cfg.clamp_inputs, cfg.clamp_inputs)
+        net_in = jnp.concatenate([x_t, cond, jnp.zeros_like(x_t)], axis=1)
+        out = model.apply(params, net_in, t)
+        if cfg.pred_type == "v":
+            x0_hat_norm, _ = v_to_x0_eps(schedule, x_t, out, t)
+        else:
+            x0_hat_norm = eps_to_x0(schedule, x_t, out, t)
+        x0_hat = x0_hat_norm * sigma_
+
+        def corr_masked(a, b, m):
+            w = m.reshape(-1)
+            a = a.reshape(-1) * w
+            b = b.reshape(-1) * w
+            n = jnp.maximum(w.sum(), 1.0)
+            a = a - a.sum() / n * w
+            b = b - b.sum() / n * w
+            den = jnp.sqrt((a * a).sum()) * jnp.sqrt((b * b).sum()) + 1e-12
+            return (a * b).sum() / den
+
+        m0 = mask[:1]
+        msum = jnp.maximum(m0.sum(), 1.0)
+        return {
+            "valid_frac": m0.mean(),
+            "corr_x0_norm": corr_masked(x0_hat_norm[:1], clean_norm[:1], m0),
+            "corr_x0_white": corr_masked(x0_hat[:1], clean[:1], m0),
+            "mse_x0_norm": (((x0_hat_norm[:1] - clean_norm[:1]) ** 2)
+                            * m0).sum() / msum,
+            "mse_x0_white": (((x0_hat[:1] - clean[:1]) ** 2) * m0).sum()
+                            / msum,
+            "x0_hat_sample0": x0_hat[0],
+        }
+
+    return dbg
+
+
 def prepare_output_dir(base_dir: str) -> str:
     """Clean ``<base>/latest_model`` (ref ``train.py:17-27``)."""
     out_dir = os.path.join(base_dir, "latest_model")
@@ -540,6 +599,7 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
 
     step_fn = make_train_step(model, schedule, cfg, optimizer, lr_sched)
     probe_fn = make_probe_fn(model, schedule, cfg) if cfg.probe_cond else None
+    debug_x0_fn = None   # built lazily on the first debug-enabled batch
 
     start_epoch = 1
     if ck_resume is not None:
@@ -563,14 +623,28 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
         print(f"[train] resumed from {cfg.resume} at epoch {start_epoch} "
               f"(global step {step_restored})")
 
-    if mesh is None and cfg.data_parallel and len(jax.devices()) > 1:
+    want_mesh = cfg.data_parallel or int(cfg.tp) > 1
+    if mesh is None and want_mesh and len(jax.devices()) > 1:
         n_model = max(1, int(cfg.tp))
-        n_data = len(jax.devices()) // n_model
-        if n_data >= 1 and cfg.batch_size % max(1, n_data) == 0:
+        n_data = max(1, len(jax.devices()) // n_model)
+        if n_model > len(jax.devices()):
+            raise ValueError(
+                f"--tp {cfg.tp} requested but only {len(jax.devices())} "
+                f"devices are visible")
+        if cfg.batch_size % n_data == 0:
             mesh = pmesh.make_mesh(n_data=n_data, n_model=n_model)
         else:
+            dropped = (f" (and the requested --tp {cfg.tp} tensor "
+                       f"parallelism)" if n_model > 1 else "")
             print(f"[train] batch_size={cfg.batch_size} not divisible by "
-                  f"{n_data} data-parallel devices; running without sharding")
+                  f"{n_data} data-parallel devices; running without "
+                  f"sharding{dropped}")
+    elif mesh is None and int(cfg.tp) > 1:
+        # tp requested but unsatisfiable (single device) — say so instead
+        # of silently running unsharded (ADVICE r2)
+        print(f"[train] --tp {cfg.tp} requested but only "
+              f"{len(jax.devices())} device(s) visible; tensor parallelism "
+              f"dropped")
     if mesh is not None:
         tp_on = "model" in mesh.shape and mesh.shape["model"] > 1
         state = TrainState(
@@ -660,7 +734,13 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
             if cfg.debug_first and i == 0 and (
                     epoch == 1 or (cfg.debug_first_every
                                    and epoch % cfg.debug_first_every == 0)):
-                _first_batch_debug(jb, m, out_dir, epoch)
+                if debug_x0_fn is None:
+                    debug_x0_fn = make_debug_x0_fn(model, schedule, cfg)
+                key, k_dbg = jax.random.split(key)
+                x0m = debug_x0_fn(state.params, jb["clean"], jb["noisy"],
+                                  jb["sigma"], jb["mask"], jb.get("meta"),
+                                  cfg.T // 2, k_dbg)
+                _first_batch_debug(jb, m, out_dir, epoch, x0m)
 
         # drain the deferred metrics (single host sync per epoch)
         fetched = jax.device_get([p[2] for p in pending])
@@ -745,8 +825,9 @@ def _save(out_dir, state: TrainState, cfg, in_ch, cond_in_ch, c_meta, meta_scale
     return path
 
 
-def _first_batch_debug(jb, metrics, out_dir, epoch):
-    """First-batch deep stats + npy dumps (ref ``train.py:524-585``)."""
+def _first_batch_debug(jb, metrics, out_dir, epoch, x0m=None):
+    """First-batch deep stats + one-step-x0 quality + npy dumps
+    (ref ``train.py:524-585``)."""
     def stats(name, a):
         a = np.asarray(a, np.float64)
         print(f"[DEBUG] {name}: min={a.min():.3e} max={a.max():.3e} "
@@ -757,6 +838,14 @@ def _first_batch_debug(jb, metrics, out_dir, epoch):
           f"{sigma.max():.3e}")
     stats("clean", jb["clean"])
     stats("noisy", jb["noisy"])
+    if x0m is not None:
+        x0m = {k: np.asarray(v) for k, v in x0m.items()}
+        print(f"[DEBUG] valid_frac={float(x0m['valid_frac']):.3f} , "
+              f"corr_masked(x0_norm, clean_norm)="
+              f"{float(x0m['corr_x0_norm']):.3f} "
+              f"corr_masked(x0, clean)={float(x0m['corr_x0_white']):.3f} , "
+              f"MSE_masked_norm={float(x0m['mse_x0_norm']):.3e} , "
+              f"MSE_masked_white={float(x0m['mse_x0_white']):.3e}")
     if epoch == 1:
         try:
             dbg = os.path.join(out_dir, "debug_batch0")
@@ -765,6 +854,9 @@ def _first_batch_debug(jb, metrics, out_dir, epoch):
                     np.asarray(jb["clean"][0]).ravel())
             np.save(os.path.join(dbg, "y_norm.npy"),
                     (np.asarray(jb["noisy"][0]) / max(sigma[0], 1e-30)).ravel())
+            if x0m is not None:
+                np.save(os.path.join(dbg, "x0_hat.npy"),
+                        x0m["x0_hat_sample0"].ravel())
             print(f"[DEBUG] wrote debug npys -> {dbg}")
         except Exception as e:
             print("[DEBUG] npy-dump skipped:", e)

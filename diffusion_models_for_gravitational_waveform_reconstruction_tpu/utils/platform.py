@@ -14,6 +14,7 @@ process and the switch is safe.
 """
 from __future__ import annotations
 
+import sys
 from typing import Optional
 
 _VALID = ("cpu", "tpu", "gpu")
@@ -33,11 +34,20 @@ def maybe_force_platform(device: Optional[str]) -> None:
     if dev == "cuda":  # torch spelling from reference command lines
         dev = "gpu"
     if dev not in _VALID:
+        print(f"[platform] WARNING: unknown --device {device!r}; keeping "
+              f"JAX's default backend selection", file=sys.stderr)
         return
     import jax
 
     try:
         jax.config.update("jax_platforms", dev)
     except RuntimeError:
-        # Backend already initialised (e.g. library use, tests) — leave it.
-        pass
+        # Backend already initialised (e.g. library use, tests).  Silently
+        # keeping the old backend would defeat --device cpu, which exists
+        # specifically to dodge known TPU-tunnel wedges on this rig — warn
+        # loudly instead (ADVICE r2).
+        backend = jax.default_backend()
+        if backend != dev:
+            print(f"[platform] WARNING: --device {dev} requested but the "
+                  f"JAX backend is already initialised to '{backend}'; the "
+                  f"requested platform was NOT applied", file=sys.stderr)

@@ -417,3 +417,64 @@ def test_infer_cli_avg_seeds_lambda_plot(workdir, dataset, checkpoint):
     assert m["seed_spread"]["n_seeds"] == 3
     assert m["seed_spread"]["strain_rms"] > 0
     assert os.path.exists(os.path.join(out, "recon_spread_avg.npy"))
+
+
+def test_sweep_validation_gate_rejects_losing_combo(workdir, dataset,
+                                                    checkpoint, monkeypatch):
+    """A swept combo that loses to reference-default knobs on held-out
+    samples must NOT be emitted in best_cmd.txt (VERDICT r2 item 4: round-2
+    measured 4-sample sweep knobs scoring 0.539 vs 0.73 for defaults)."""
+    import jax
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.evals import sweep as S
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.inference import load_model
+
+    model, params, schedule, ck = load_model(checkpoint)
+    out = os.path.join(workdir, "sweep_gate")
+    args = __import__(
+        "diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.sweep",
+        fromlist=["build_parser"]).build_parser().parse_args([
+            "--input-h5", dataset, "--indices", "0", "--model", checkpoint,
+            "--outdir", out, "--whiten", "1", "--whiten-mode", "model",
+            "--sigma-mode", "std", "--val-samples", "2"])
+    args.sigma_fixed = 1.0
+
+    # stub scorer: the overfit "top" combo scores 0 out of sample, the
+    # reference-default knobs score 1
+    def fake_eval(model, params, schedule, ck, preps, combo, steps, key,
+                  sampler="ddim", ladder="t", start_t_override=None):
+        is_default = combo.cfg_scale == 1.5 and combo.init_mode == "noise" \
+            and start_t_override is not None
+        return {"combo": combo.to_dict(), "steps": steps,
+                "J": 1.0 if is_default else 0.0, "J_std": 0.0,
+                "per_sample": []}
+
+    monkeypatch.setattr(S, "eval_combo", fake_eval)
+    top = {"combo": S.Combo(start_snr=8.0, cfg_scale=2.5, init_mode="y-blend",
+                            dc_weight=0.1, eta=0.25).to_dict(), "J": 0.99}
+    val = S._emit_best_cmd(args, model, params, schedule, ck, top, 4,
+                           jax.random.PRNGKey(0))
+    assert val["enabled"] and not val["emit_top"]
+    with open(os.path.join(out, "best_cmd.txt")) as fh:
+        cmd = fh.read()
+    # shipped command is the DEFAULT-knob command, not the losing combo
+    assert f"--start-t {schedule.T - 1}" in cmd
+    assert "--cfg-scale 1.5" in cmd and "y-blend" not in cmd
+    with open(os.path.join(out, "validation.json")) as fh:
+        v = json.load(fh)
+    assert v["J_val_default"] > v["J_val_top"]
+
+    # and a WINNING combo is emitted unchanged
+    def fake_eval_win(model, params, schedule, ck, preps, combo, steps, key,
+                      sampler="ddim", ladder="t", start_t_override=None):
+        return {"combo": combo.to_dict(), "steps": steps,
+                "J": 0.2 if start_t_override is not None else 0.9,
+                "J_std": 0.0, "per_sample": []}
+
+    monkeypatch.setattr(S, "eval_combo", fake_eval_win)
+    val = S._emit_best_cmd(args, model, params, schedule, ck, top, 4,
+                           jax.random.PRNGKey(0))
+    assert val["emit_top"]
+    with open(os.path.join(out, "best_cmd.txt")) as fh:
+        cmd = fh.read()
+    assert "y-blend" in cmd and "--cfg-scale 2.5" in cmd

@@ -1,0 +1,243 @@
+"""Tests for the 3.5PN aligned-spin waveform engine (data/pn.py).
+
+The load-bearing check is an INDEPENDENT derivation: the published TaylorF2
+phasing is re-typed here from alternative published forms (the 20/9*(743/336
++ 11 eta/4) style 1PN coefficient, the per-body spin-orbit beta, etc.),
+symbolically differentiated with sympy via the stationary-phase relations,
+and compared against the module's hand-derived analytic tau/Phi.  A typo in
+either copy of the coefficients breaks the match.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data import pn
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data import synth
+
+
+M1, M2 = 30.0, 25.0
+CHI1, CHI2 = 0.5, -0.3
+
+
+def _params(m1=M1, m2=M2, c1=CHI1, c2=CHI2):
+    M_s, eta = pn.mass_params(m1, m2)
+    beta, sig = pn.spin_phasing_params(m1, m2, c1, c2)
+    return float(M_s), float(eta), float(beta), float(sig)
+
+
+# ---------------------------------------------------------------------------
+# Published-coefficient parity via an independent sympy derivation
+# ---------------------------------------------------------------------------
+
+def _sympy_tau_phase():
+    """TaylorT2 tau(v), Phi(v) derived with sympy from independently-typed
+    published TaylorF2 coefficients (Buonanno et al. 2009 Eq. 3.18 forms)."""
+    import sympy as sp
+
+    v, eta_s, beta_s, sigma_s, Ms = sp.symbols(
+        "v eta beta sigma Ms", positive=True)
+    gamma_e = sp.EulerGamma
+    # alternative published typings (NOT the module's forms):
+    a2 = sp.Rational(20, 9) * (sp.Rational(743, 336) + sp.Rational(11, 4) * eta_s)
+    a3 = 4 * beta_s - 16 * sp.pi
+    a4 = 10 * (sp.Rational(3058673, 1016064) + sp.Rational(5429, 1008) * eta_s
+               + sp.Rational(617, 144) * eta_s ** 2) - 10 * sigma_s
+    a5 = sp.pi * (sp.Rational(38645, 756) - sp.Rational(65, 9) * eta_s) \
+        * (1 + 3 * sp.log(v))
+    a6 = (sp.Rational(11583231236531, 4694215680) - 640 * sp.pi ** 2 / 3
+          - sp.Rational(6848, 21) * (gamma_e + sp.log(4 * v))
+          + (-sp.Rational(15737765635, 3048192) + 2255 * sp.pi ** 2 / 12) * eta_s
+          + sp.Rational(76055, 1728) * eta_s ** 2
+          - sp.Rational(127825, 1296) * eta_s ** 3)
+    a7 = sp.pi * (sp.Rational(77096675, 254016)
+                  + sp.Rational(378515, 1512) * eta_s
+                  - sp.Rational(74045, 756) * eta_s ** 2)
+    psi = 3 / (128 * eta_s * v ** 5) * (
+        1 + a2 * v ** 2 + a3 * v ** 3 + a4 * v ** 4 + a5 * v ** 5
+        + a6 * v ** 6 + a7 * v ** 7)
+    # SPA relations: tau = -(M/(6 v^2)) dpsi/dv ; Phi - phi_c = -2 pi f tau - psi
+    tau = -(Ms / (6 * v ** 2)) * sp.diff(psi, v)
+    f = v ** 3 / (sp.pi * Ms)
+    phase = -2 * sp.pi * f * tau - psi
+    syms = (v, Ms, eta_s, beta_s, sigma_s)
+    return (sp.lambdify(syms, tau, "numpy"),
+            sp.lambdify(syms, phase, "numpy"),
+            sp.lambdify((v, eta_s, beta_s, sigma_s), psi, "numpy"))
+
+
+def test_tau_phase_match_published_series():
+    tau_ref, phase_ref, psi_ref = _sympy_tau_phase()
+    for (m1, m2, c1, c2) in [(30.0, 25.0, 0.5, -0.3),
+                             (40.0, 10.0, 0.0, 0.0),
+                             (20.0, 20.0, 0.9, 0.9)]:
+        M_s, eta, beta, sig = _params(m1, m2, c1, c2)
+        for v in (0.15, 0.25, 0.35, 0.45):
+            t_mod = float(pn.tau_of_v(v, M_s, eta, beta, sig))
+            p_mod = float(pn.phase_of_v(v, M_s, eta, beta, sig))
+            s_mod = float(pn.psi_of_v(v, eta, beta, sig))
+            t_ref = float(tau_ref(v, M_s, eta, beta, sig))
+            p_ref = float(phase_ref(v, M_s, eta, beta, sig))
+            s_ref = float(psi_ref(v, eta, beta, sig))
+            assert abs(s_mod - s_ref) <= 2e-5 * abs(s_ref)
+            assert abs(t_mod - t_ref) <= 2e-5 * max(abs(t_ref), 1e-6)
+            assert abs(p_mod - p_ref) <= 2e-5 * max(abs(p_ref), 1e-6)
+
+
+def test_tau_matches_autodiff_of_psi():
+    """The analytic tau/dtau must equal jax.grad of psi (catches hand-
+    differentiation typos independently of the sympy path)."""
+    M_s, eta, beta, sig = _params()
+    dpsi = jax.grad(lambda v: pn.psi_of_v(v, eta, beta, sig))
+    dtau = jax.grad(lambda v: pn.tau_of_v(v, M_s, eta, beta, sig))
+    for v in (0.15, 0.25, 0.35, 0.45):
+        t_ad = -(M_s / (6 * v * v)) * float(dpsi(v))
+        t_an = float(pn.tau_of_v(v, M_s, eta, beta, sig))
+        assert abs(t_an - t_ad) <= 1e-5 * abs(t_ad)
+        d_ad = float(dtau(v))
+        d_an = float(pn._dtau_dv(v, M_s, eta, beta, sig))
+        assert abs(d_an - d_ad) <= 1e-5 * abs(d_ad)
+
+
+def test_newtonian_limit():
+    """At tiny v the 0PN terms dominate: tau -> 5M/(256 eta v^8) and
+    Phi -> -(1/(16 eta v^5))."""
+    M_s, eta, _, _ = _params(c1=0.0, c2=0.0)
+    v = 0.02
+    t = float(pn.tau_of_v(v, M_s, eta, 0.0, 0.0))
+    t0 = 5.0 * M_s / (256.0 * eta * v ** 8)
+    assert abs(t - t0) / t0 < 5e-3          # 1PN correction ~ 1.5e-3 at v=0.02
+    p = float(pn.phase_of_v(v, M_s, eta, 0.0, 0.0))
+    p0 = -1.0 / (16.0 * eta * v ** 5)
+    assert abs(p - p0) / abs(p0) < 5e-3
+
+
+def test_dphase_dt_equals_2pi_f():
+    """SPA consistency: dPhi/dt == 2 pi f identically (chain rule through
+    dv/dt = -1/tau')."""
+    M_s, eta, beta, sig = _params()
+    dphase = jax.grad(lambda v: pn.phase_of_v(v, M_s, eta, beta, sig))
+    for v in (0.2, 0.3, 0.4):
+        dv_dt = -1.0 / float(pn._dtau_dv(v, M_s, eta, beta, sig))
+        lhs = float(dphase(v)) * dv_dt
+        f = v ** 3 / (np.pi * M_s)
+        assert abs(lhs - 2 * np.pi * f) <= 1e-4 * 2 * np.pi * f
+
+
+# ---------------------------------------------------------------------------
+# Spin parameter combinations
+# ---------------------------------------------------------------------------
+
+def test_beta_symmetric_basis_identity():
+    """beta per-body form == (113/12)[(1 - 76 eta/113) chi_s + delta chi_a]."""
+    for (m1, m2, c1, c2) in [(30.0, 25.0, 0.5, -0.3), (40.0, 10.0, 0.8, 0.2)]:
+        M = m1 + m2
+        eta = m1 * m2 / M ** 2
+        chi_s, chi_a = (c1 + c2) / 2, (c1 - c2) / 2
+        delta = (m1 - m2) / M
+        expect = (113.0 / 12.0) * ((1 - 76.0 * eta / 113.0) * chi_s
+                                   + delta * chi_a)
+        beta, _ = pn.spin_phasing_params(m1, m2, c1, c2)
+        assert abs(float(beta) - expect) < 1e-10
+
+
+def test_sigma_spin_spin():
+    _, sig = pn.spin_phasing_params(30.0, 25.0, 0.4, 0.5)
+    eta = 30.0 * 25.0 / 55.0 ** 2
+    assert abs(float(sig) - (79.0 / 8.0) * eta * 0.4 * 0.5) < 1e-12
+
+
+def test_kerr_isco_limits():
+    # chi=0 reduces to the Schwarzschild ISCO used by the 0PN engine
+    f0 = float(pn.kerr_isco_f_gw(30.0, 25.0, 0.0))
+    fs_ref = float(synth.isco_frequency(jnp.asarray(30.0), jnp.asarray(25.0)))
+    assert abs(f0 - fs_ref) / fs_ref < 1e-5
+    # prograde spin raises f_isco, retrograde lowers it
+    assert float(pn.kerr_isco_f_gw(30.0, 25.0, 0.9)) > f0
+    assert float(pn.kerr_isco_f_gw(30.0, 25.0, -0.9)) < f0
+
+
+# ---------------------------------------------------------------------------
+# Inversion + assembled waveform
+# ---------------------------------------------------------------------------
+
+def test_invert_tau_roundtrip():
+    M_s, eta, beta, sig = _params()
+    v_min = float(np.cbrt(np.pi * M_s * 10.0))
+    f_term = float(pn.kerr_isco_f_gw(M1, M2, pn.chi_eff(M1, M2, CHI1, CHI2)))
+    v_cand = float(np.cbrt(np.pi * M_s * f_term))
+    v_term = float(pn.monotone_v_term(v_min, v_cand, M_s, eta, beta, sig))
+    tau_hi = float(pn.tau_of_v(v_min, M_s, eta, beta, sig))
+    taus = jnp.linspace(0.01, 0.95 * tau_hi, 64)
+    v_sol = pn.invert_tau(taus, M_s, eta, beta, sig, v_min, v_term)
+    back = pn.tau_of_v(v_sol, M_s, eta, beta, sig)
+    assert float(jnp.max(jnp.abs(back - taus) / taus)) < 1e-4
+
+
+def test_waveform_is_spin_sensitive():
+    """The conditioning channels must carry signal: same masses, different
+    aligned spins -> decorrelated waveforms; tiny spin change -> nearly
+    identical."""
+    def wave(c1, c2):
+        h = pn.pn_chirp(jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(c1),
+                        jnp.asarray(c2), n=8192, fs=4096)
+        return np.asarray(h, np.float64) * 1e21
+
+    def corr(a, b):
+        a = a - a.mean()
+        b = b - b.mean()
+        return float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+
+    h0 = wave(0.0, 0.0)
+    assert corr(h0, wave(0.8, 0.8)) < 0.3
+    assert corr(h0, wave(-0.8, -0.8)) < 0.3
+    assert corr(h0, wave(0.02, -0.02)) > 0.9
+
+
+def test_duration_orderings():
+    """1PN lengthening + spin-orbit: retrograde < zero-spin < prograde, and
+    the chirp fits the synth segment conventions (finite, merger near end)."""
+    d = [float(pn.pn_duration(30.0, 25.0, c, c)) for c in (-0.8, 0.0, 0.8)]
+    assert d[0] < d[1] < d[2]
+    h = np.asarray(pn.pn_chirp(jnp.asarray(30.0), jnp.asarray(25.0),
+                               jnp.asarray(0.5), jnp.asarray(0.5),
+                               n=8192, fs=4096), np.float64)
+    assert np.isfinite(h).all()
+    peak = int(np.argmax(np.abs(h)))
+    assert 8192 - 600 < peak < 8192          # merger ~t_post before the end
+    # early part windowed to zero
+    assert np.abs(h[:100]).max() < 1e-3 * np.abs(h).max()
+
+
+def test_generate_sample_pn_engine_snr_and_spin():
+    """generate_sample with the default pn engine hits the target
+    matched-filter SNR and responds to spins."""
+    cfg = synth.SynthConfig(n=8192, fs=4096)
+    assert cfg.engine == "pn"
+    key = jax.random.PRNGKey(0)
+    out = synth.generate_sample(key, jnp.asarray(30.0), jnp.asarray(25.0),
+                                jnp.asarray(20.0), jnp.asarray(0.7),
+                                jnp.asarray(0.7), config=cfg)
+    got = synth.matched_filter_sigma(out["signal"], out["psd"], 4096.0, 20.0)
+    assert abs(float(got) - 20.0) / 20.0 < 1e-3
+    out0 = synth.generate_sample(key, jnp.asarray(30.0), jnp.asarray(25.0),
+                                 jnp.asarray(20.0), jnp.asarray(0.0),
+                                 jnp.asarray(0.0), config=cfg)
+    s1 = np.asarray(out["signal"], np.float64)
+    s0 = np.asarray(out0["signal"], np.float64)
+    num = float((s1 * s0).sum())
+    den = float(np.sqrt((s1 * s1).sum() * (s0 * s0).sum()))
+    assert abs(num / den) < 0.5      # spins changed the waveform
+
+
+def test_generate_batch_passes_spins():
+    cfg = synth.SynthConfig(n=4096, fs=4096)
+    key = jax.random.PRNGKey(1)
+    out = synth.generate_batch(
+        key, jnp.asarray([30.0, 30.0]), jnp.asarray([25.0, 25.0]),
+        jnp.asarray([20.0, 20.0]), jnp.asarray([0.8, -0.8]),
+        jnp.asarray([0.8, -0.8]), config=cfg)
+    s = np.asarray(out["signal"], np.float64)
+    num = float((s[0] * s[1]).sum())
+    den = float(np.sqrt((s[0] ** 2).sum() * (s[1] ** 2).sum()))
+    assert abs(num / den) < 0.5      # different spins -> different waveforms

@@ -430,3 +430,124 @@ def test_composed_training_loss_parity(tmp_path):
     our_l = np.asarray(our_losses, np.float64)
     rel = np.abs(our_l - ref_l) / (np.abs(ref_l) + 1e-30)
     assert rel.max() < 1e-4, (list(zip(t_seq, ref_l, our_l)), rel.max())
+
+
+def test_full_trajectory_reconstruction_and_mf_snr_parity(tmp_path):
+    """BASELINE gate, final clause (VERDICT r2 item 2/3): run the REFERENCE
+    ``ddim_sample`` (inference.py:374-514) end-to-end on a real .pth
+    checkpoint against our scan-based sampler with INJECTED noise (shared
+    init and per-step eta-noise via patched RNGs), and assert <=1e-4
+    relative agreement on the full reconstructed waveform AND on the
+    recovered matched-filter SNR.
+    """
+    import inference as ref_inf  # reference module (oracle)
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.synth import (
+        aligo_zdhp_psd,
+        matched_filter_sigma,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.inference import (
+        load_model,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.sampling import (
+        SamplerConfig,
+        ddim_sample,
+    )
+
+    T, steps, L = 100, 50, 512
+
+    # --- real reference-format checkpoint (random but REAL weights) -------
+    torch.manual_seed(7)
+    tnet = TorchUNet(in_ch=3, base_ch=16, time_dim=32, depth=2,
+                     cond_in_ch=1, use_selfcond=True,
+                     t_embed_max_time=T - 1).eval()
+    sd = tnet.state_dict()
+    rng = np.random.default_rng(11)
+    # the reference zero-inits the head (models.py:131-134) -> replace so the
+    # sampler trajectory is non-trivial
+    sd["final.weight"] = torch.from_numpy(
+        rng.normal(size=sd["final.weight"].shape).astype(np.float32) * 0.05)
+    sd["final.bias"] = torch.from_numpy(
+        rng.normal(size=sd["final.bias"].shape).astype(np.float32) * 0.05)
+    tnet.load_state_dict(sd)
+    payload = {
+        "model_state": tnet.state_dict(),
+        "epoch": 1,
+        "args": {"in_ch": 3, "cond_in_ch": 1, "base_ch": 16, "time_dim": 32,
+                 "depth": 2, "T": T, "whiten": True, "whiten_mode": "model",
+                 "sigma_mode": "std", "meta_scale": {"M": 80.0, "q": 10.0}},
+    }
+    path = str(tmp_path / "gate_ckpt.pth")
+    torch.save(payload, path)
+    model, params, schedule, ck = load_model(path)
+
+    td = TorchDiffusion(T=T)
+    y = rng.normal(size=(1, 1, L)).astype(np.float32) * 0.5
+    cond = y
+
+    # --- injected noise: one fixed field per shape, shared by BOTH RNGs ---
+    noise_bank = {}
+
+    def _z(shape):
+        key = tuple(shape)
+        if key not in noise_bank:
+            noise_bank[key] = np.random.default_rng(
+                1234 + len(noise_bank)).normal(size=shape).astype(np.float32)
+        return noise_bank[key]
+
+    eta, cfg_scale, dc = 0.25, 1.5, 0.05
+
+    orig_randn = torch.randn
+    orig_randn_like = torch.randn_like
+    torch.randn = lambda *a, **k: torch.from_numpy(
+        _z(tuple(a[0]) if isinstance(a[0], (tuple, torch.Size)) else a))
+    torch.randn_like = lambda x, **k: torch.from_numpy(_z(tuple(x.shape)))
+    try:
+        x_ref = ref_inf.ddim_sample(
+            tnet, td, torch.from_numpy(cond), T=T, steps=steps,
+            eta=eta, device=torch.device("cpu"), length=L, debug=False,
+            start_t=None, init_mode="scaled-noise", x0_std_est=0.2,
+            dc_weight=dc, cond_scale=1.0, eps_scale=1.0, pred_type="eps",
+            in_ch=3, cond_in_ch=1, use_selfcond=True,
+            cfg_scale=cfg_scale, cfg_mode="const", cfg_center=0.7,
+            cfg_width=0.12, cfg_u_only_thresh=0.05).numpy()
+    finally:
+        torch.randn = orig_randn
+        torch.randn_like = orig_randn_like
+
+    orig_normal = jax.random.normal
+    jax.random.normal = lambda key, shape, dtype=jnp.float32: jnp.asarray(
+        _z(tuple(shape)))
+    try:
+        cfg = SamplerConfig(steps=steps, eta=eta, init_mode="scaled-noise",
+                            x0_std_est=0.2, dc_weight=dc,
+                            cfg_scale=cfg_scale, cfg_mode="const",
+                            cfg_center=0.7, cfg_width=0.12,
+                            use_selfcond=True, clamp_inputs=0.0, x0_clip=0.0)
+        x_ours = np.asarray(ddim_sample(model.apply, params, schedule,
+                                        jnp.asarray(cond),
+                                        jax.random.PRNGKey(0), cfg))
+    finally:
+        jax.random.normal = orig_normal
+
+    # full-waveform parity
+    err = _rel_err(x_ours, x_ref)
+    assert err < 1e-4, err
+
+    # matched-filter SNR parity through the SAME physical MF functional
+    fs = 4096.0
+    freqs = np.fft.rfftfreq(L, 1.0 / fs)
+    psd = np.asarray(aligo_zdhp_psd(jnp.asarray(freqs), 20.0))
+    # the recon lives in the sigma-normalised O(1) domain; treat it as
+    # strain x STRAIN_SCALE so the scaled-units MF arithmetic stays in
+    # f32 range (data/synth.py convention)
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.synth import (
+        STRAIN_SCALE,
+    )
+    snr_ref = float(matched_filter_sigma(
+        jnp.asarray(x_ref[0, 0]), jnp.asarray(psd), fs, 20.0,
+        signal_scale=STRAIN_SCALE))
+    snr_ours = float(matched_filter_sigma(
+        jnp.asarray(x_ours[0, 0]), jnp.asarray(psd), fs, 20.0,
+        signal_scale=STRAIN_SCALE))
+    assert abs(snr_ours - snr_ref) / max(abs(snr_ref), 1e-30) < 1e-4
