@@ -576,6 +576,100 @@ class StreamingDataset:
                     [pool[k]] + [first[k]] * reps)[:batch_size]
                     for k in pool}
 
+    def iter_batches_device(
+        self,
+        batch_size: int,
+        rng: np.random.Generator,
+        shuffle: bool = True,
+        drop_remainder: bool = False,
+        budget_bytes: int = 4 << 30,
+        sharding=None,
+    ):
+        """Streaming COMPOSED with device residency (VERDICT r2 item 7).
+
+        Chunk-sized buckets rotate through HBM instead of batches rotating
+        through the host->device tunnel:
+
+        - host RSS stays bounded at O(chunk) — chunks are prepared through
+          the same ``_load_chunk`` path (host LRU still capped at
+          ``cache_chunks``), then handed straight to the device;
+        - each chunk is uploaded ONCE and kept resident while the total
+          fits ``budget_bytes``; steady-state epochs do ZERO H2D.  This
+          bounds the axon client's per-transfer host leak to ~one dataset's
+          bytes TOTAL (instead of one dataset per epoch with the per-batch
+          path, the "restart every ~100 epochs" failure mode);
+        - over-budget chunks fall back to transient per-epoch uploads, so
+          larger-than-HBM datasets still stream with per-epoch H2D equal to
+          the un-cached remainder only;
+        - batches are gathered/pooled ON DEVICE; the schedule consumes the
+          rng exactly like :meth:`iter_batches`, so batch contents are
+          bit-identical to the host-streaming path.
+
+        ``self.h2d_bytes_epoch`` records the bytes uploaded by the most
+        recent epoch (observability + tests).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_dev_chunks"):
+            self._dev_chunks: dict = {}
+            self._dev_bytes = 0
+        self.h2d_bytes_epoch = 0
+
+        def get_chunk(Lb, ci):
+            key = (Lb, int(ci))
+            if key in self._dev_chunks:
+                return self._dev_chunks[key]
+            host = self._load_chunk(Lb, int(ci))
+            arrs = {k: v for k, v in host.items() if k != "index"}
+            nbytes = sum(v.nbytes for v in arrs.values())
+            dev = {k: jnp.asarray(v) for k, v in arrs.items()}
+            self.h2d_bytes_epoch += nbytes
+            if self._dev_bytes + nbytes <= budget_bytes:
+                self._dev_chunks[key] = dev
+                self._dev_bytes += nbytes
+            return dev
+
+        plans = []  # identical rng consumption to iter_batches
+        for Lb in self.bucket_lengths:
+            N = len(self._bucket_idx[Lb])
+            n_chunks = -(-N // self.chunk)
+            order = (rng.permutation(n_chunks) if shuffle
+                     else np.arange(n_chunks))
+            plans.append((Lb, order))
+        if shuffle:
+            rng.shuffle(plans)
+
+        def emit(batch):
+            if sharding is not None:
+                batch = {k: jax.device_put(v, sharding)
+                         for k, v in batch.items()}
+            return batch
+
+        for Lb, chunk_order in plans:
+            pool = None
+            for ci in chunk_order:
+                dev = get_chunk(Lb, int(ci))
+                n_c = int(dev["sigma"].shape[0])
+                if shuffle:
+                    sel = jnp.asarray(rng.permutation(n_c))
+                    c = {k: jnp.take(v, sel, axis=0) for k, v in dev.items()}
+                else:
+                    c = dict(dev)
+                pool = (c if pool is None else
+                        {k: jnp.concatenate([pool[k], c[k]]) for k in c})
+                while pool["sigma"].shape[0] >= batch_size:
+                    yield emit({k: v[:batch_size] for k, v in pool.items()})
+                    pool = {k: v[batch_size:] for k, v in pool.items()}
+            n_left = int(pool["sigma"].shape[0]) if pool is not None else 0
+            if n_left and not drop_remainder:
+                first = get_chunk(Lb, int(chunk_order[0]))
+                fill = batch_size - n_left
+                reps = -(-fill // int(first["sigma"].shape[0]))
+                yield emit({k: jnp.concatenate(
+                    [pool[k]] + [first[k]] * reps, axis=0)[:batch_size]
+                    for k in pool})
+
 
 def iterate_batches(
     ds,
@@ -613,11 +707,19 @@ def iterate_batches(
         yield {k: v[sel] for k, v in b.items()}
 
 
-def upload_buckets(ds, budget_bytes: int = 4 << 30):
-    """Upload every bucket's arrays to the default device ONCE.
+def upload_buckets(ds, budget_bytes: int = 10 << 30, sharding=None):
+    """Upload every bucket's arrays to device memory ONCE.
 
     Returns {L: {key: jax array}} or None if the dataset exceeds
     ``budget_bytes`` (HBM guard) or is a streaming dataset.
+
+    ``sharding``: optional batch ``NamedSharding`` (leading axis over the
+    ``data`` mesh axis).  When given, each bucket is uploaded ALREADY
+    ROW-SHARDED across the mesh — every device holds 1/n_data of the
+    dataset instead of a full replica on the default device (the pod-viable
+    input path, VERDICT r2 item 6).  Rows are wrap-padded to a multiple of
+    the data-axis size; padding rows are never selected by the batch
+    schedule (indices stay < N).
 
     Motivation (TPU-native + environment workaround, RESULTS.md "Host-memory
     leak"): per-batch host->device transfers (a) serialize 6 MB/step through
@@ -626,6 +728,7 @@ def upload_buckets(ds, budget_bytes: int = 4 << 30):
     epochs x 157 batches).  With the dataset resident in HBM, each step
     moves only a ~KB index vector.
     """
+    import jax
     import jax.numpy as jnp
 
     if not hasattr(ds, "buckets"):
@@ -637,8 +740,22 @@ def upload_buckets(ds, budget_bytes: int = 4 << 30):
                 total += v.nbytes
     if total > budget_bytes:
         return None
+
+    n_data = 1
+    if sharding is not None:
+        n_data = int(np.prod([sharding.mesh.shape[a]
+                              for a in sharding.spec if a is not None] or [1]))
+
+    def put(v):
+        if sharding is None or n_data <= 1:
+            return jnp.asarray(v)
+        pad = (-v.shape[0]) % n_data
+        if pad:
+            v = np.concatenate([v, v[:pad]], axis=0)
+        return jax.device_put(v, sharding)
+
     return {
-        Lb: {k: jnp.asarray(v) for k, v in b.items()
+        Lb: {k: put(v) for k, v in b.items()
              if isinstance(v, np.ndarray) and k != "index"}
         for Lb, b in ds.buckets.items()
     }
@@ -654,8 +771,20 @@ def device_resident_batches(
     sharding=None,
 ):
     """Epoch iterator over :func:`upload_buckets` output: identical batch
-    schedule and contents as :func:`iterate_batches` (same rng consumption),
-    but batches are gathered ON DEVICE from the resident buckets."""
+    schedule and contents as :func:`iterate_batches` (same rng consumption,
+    bit-identical sample-to-batch assignment), but batches are gathered ON
+    DEVICE from the resident buckets.
+
+    Mesh path (``sharding`` is a batch NamedSharding): instead of gathering
+    on one device and re-scattering every step (a single-device bounce +
+    full replica — the round-2 shape), the WHOLE epoch's permutation is
+    materialised once per bucket as an (n_batches, B, ...) tensor sharded
+    ``P(None, 'data')``; each batch is then a zero-copy slice of that
+    tensor, already batch-sharded across the mesh.  Cost: one cross-shard
+    gather per bucket per epoch (rides ICI, amortised over all its
+    batches) and transiently ~2x the bucket's HBM while the epoch tensor
+    is built.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -672,14 +801,40 @@ def device_resident_batches(
             order.append((Lb, sel))
     if shuffle:
         rng.shuffle(order)
+
+    if sharding is None:
+        for Lb, sel in order:
+            dev = dev_buckets[Lb]
+            sel_d = jnp.asarray(sel)
+            yield {k: jnp.take(v, sel_d, axis=0) for k, v in dev.items()}
+        return
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = sharding.mesh
+    epoch_spec = PartitionSpec(None, *sharding.spec)
+
+    # group each bucket's batch index-sets in schedule order
+    per_bucket: Dict[int, list] = {}
+    sched = []                       # (Lb, slot within that bucket's tensor)
     for Lb, sel in order:
-        dev = dev_buckets[Lb]
-        sel_d = jnp.asarray(sel)
-        batch = {k: jnp.take(v, sel_d, axis=0) for k, v in dev.items()}
-        if sharding is not None:
-            batch = {k: jax.device_put(v, sharding)
-                     for k, v in batch.items()}
-        yield batch
+        slot = len(per_bucket.setdefault(Lb, []))
+        per_bucket[Lb].append(sel)
+        sched.append((Lb, slot))
+
+    epoch: Dict[int, Dict[str, jnp.ndarray]] = {}
+    for Lb, sels in per_bucket.items():
+        flat = jnp.asarray(np.concatenate(sels))
+        nb = len(sels)
+        epoch[Lb] = {}
+        for k, v in dev_buckets[Lb].items():
+            t = jnp.take(v, flat, axis=0).reshape(
+                (nb, batch_size) + v.shape[1:])
+            epoch[Lb][k] = jax.device_put(
+                t, NamedSharding(mesh, epoch_spec))
+
+    for Lb, slot in sched:
+        yield {k: v[slot] for k, v in epoch[Lb].items()}
 
 
 def synthetic_dataset(

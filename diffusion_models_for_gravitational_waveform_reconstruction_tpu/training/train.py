@@ -669,12 +669,18 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
 
     dev_buckets = None
     if cfg.device_data and not cfg.streaming:
-        dev_buckets = dpipe.upload_buckets(dataset)
+        # on a mesh, upload row-sharded: each device holds 1/n_data of the
+        # dataset (pod-viable input path) and epoch tensors land pre-sharded
+        dev_buckets = dpipe.upload_buckets(
+            dataset,
+            sharding=pmesh.batch_sharding(mesh) if mesh is not None else None)
         if dev_buckets is not None:
             mb = sum(v.nbytes for b in dev_buckets.values()
                      for v in b.values()) / 1e6
-            print(f"[train] dataset resident on device ({mb:.0f} MB); "
-                  f"on-device batch gather (no per-step H2D)")
+            print(f"[train] dataset resident on device ({mb:.0f} MB"
+                  + (f", row-sharded over {mesh.shape['data']} devices"
+                     if mesh is not None else "")
+                  + "); on-device batch gather (no per-step H2D)")
 
     history = []
     global_step = (start_epoch - 1) * n_batches
@@ -692,6 +698,12 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
         if dev_buckets is not None:
             batches = dpipe.device_resident_batches(
                 dataset, cfg.batch_size, rng, dev_buckets, sharding=sharding)
+        elif (cfg.streaming and cfg.device_data
+              and hasattr(dataset, "iter_batches_device")):
+            # streaming composed with device residency: chunks rotate
+            # through an HBM cache, steady-state epochs do zero H2D
+            batches = dataset.iter_batches_device(
+                cfg.batch_size, rng, sharding=sharding)
         else:
             batches = dpipe.prefetch_to_device(
                 dpipe.iterate_batches(dataset, cfg.batch_size, rng),

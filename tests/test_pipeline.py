@@ -218,3 +218,63 @@ def test_upload_buckets_budget_guard_and_streaming():
         pass
 
     assert upload_buckets(FakeStreaming()) is None           # no .buckets
+
+
+def test_streaming_device_residency_compose(ragged_h5):
+    """iter_batches_device (VERDICT r2 item 7): bit-identical batches to the
+    host streaming path, chunks cached in HBM after the first epoch (zero
+    steady-state H2D), bounded host RSS, budget fallback to transient
+    uploads."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.pipeline import (
+        StreamingDataset,
+    )
+
+    path, _ = ragged_h5
+    host = StreamingDataset(path, whiten=True, sigma_mode="std", chunk=2,
+                            cache_chunks=1)
+    dev = StreamingDataset(path, whiten=True, sigma_mode="std", chunk=2,
+                           cache_chunks=1)
+
+    h_batches = list(host.iter_batches(2, np.random.default_rng(7)))
+    d_batches = list(dev.iter_batches_device(2, np.random.default_rng(7)))
+    assert len(h_batches) == len(d_batches) > 0
+    for hb, db in zip(h_batches, d_batches):
+        for k in ("clean", "noisy", "mask", "sigma", "meta"):
+            np.testing.assert_array_equal(np.asarray(db[k]), hb[k]), k
+
+    # epoch 1 uploaded everything once; epoch 2 is fully HBM-cached
+    assert dev.h2d_bytes_epoch > 0
+    first_epoch_bytes = dev.h2d_bytes_epoch
+    _ = list(dev.iter_batches_device(2, np.random.default_rng(8)))
+    assert dev.h2d_bytes_epoch == 0          # zero steady-state H2D
+
+    # host RSS stays bounded by the chunk cache, not the dataset
+    assert dev.peak_live_samples <= 2 * dev.cache_chunks + 2
+
+    # tiny budget -> nothing cached -> every epoch re-uploads (but still
+    # bounded host memory and a working iterator)
+    small = StreamingDataset(path, whiten=True, sigma_mode="std", chunk=2)
+    _ = list(small.iter_batches_device(2, np.random.default_rng(7),
+                                       budget_bytes=1))
+    e1 = small.h2d_bytes_epoch
+    _ = list(small.iter_batches_device(2, np.random.default_rng(8),
+                                       budget_bytes=1))
+    assert small.h2d_bytes_epoch > 0 and e1 > 0
+    assert len(small._dev_chunks) == 0
+    assert first_epoch_bytes > 0
+
+
+def test_streaming_device_trainer_e2e(ragged_h5, tmp_path):
+    """cfg.streaming + cfg.device_data composes in the trainer."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.training.train import (
+        TrainConfig, train,
+    )
+
+    path, _ = ragged_h5
+    cfg = TrainConfig(data=path, model_dir=str(tmp_path / "m"), epochs=1,
+                      batch_size=2, base_ch=8, time_dim=16, depth=1, T=20,
+                      warmup_steps=2, bf16=False, data_parallel=False,
+                      whiten=True, streaming=True, stream_chunk=2,
+                      device_data=True)
+    out = train(cfg)
+    assert np.isfinite(out["history"][0]["avg_per_sample"])
