@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--avg-seeds", type=int, default=1,
                    help="Average N independent-noise reconstructions per "
                         "sample (batched into one scan).")
+    s.add_argument("--amp-calib", choices=["none", "mf"], default="none",
+                   help="'mf': least-squares matched-filter amplitude "
+                        "rescaling of each whitened recon against its "
+                        "measurement.")
     s.add_argument("--eta", type=float, default=0.0)
     s.add_argument("--start-snr", type=float, default=8.0,
                    help="Reference-parity default TRUNCATES the trajectory "

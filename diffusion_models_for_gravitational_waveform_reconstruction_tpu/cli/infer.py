@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(one batched scan; sampler noise averages down "
                         "~1/sqrt(N) while the conditioned signal is "
                         "coherent). 1 = off.")
+    s.add_argument("--amp-calib", choices=["none", "mf"], default="none",
+                   help="'mf': rescale the whitened recon by the least-"
+                        "squares matched-filter amplitude against the "
+                        "measurement (fixes the shape-right/amplitude-low "
+                        "failure mode of v-pred models).")
 
     d = p.add_argument_group("Domain (default: inherited from the checkpoint "
                              "args so inference matches training)")
@@ -191,7 +196,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         model, params, schedule, prep, cfg, key, sampler=args.sampler,
         collect_diagnostics=bool(args.log_jsonl) or args.debug,
         tiled_chunk=args.tiled_chunk, avg_seeds=args.avg_seeds,
-        return_all_seeds=want_spread)
+        return_all_seeds=want_spread, amp_calib=args.amp_calib)
     if want_spread:
         x0_raw, x0_white, diag, seeds_white = out
         # seed scatter = reconstruction-uncertainty estimate (extension):

@@ -152,7 +152,9 @@ def eval_indices(
         x0_white = reconstruct_batch(model, params, schedule, conds, sigmas,
                                      cfg, k, clean_norms=cn,
                                      sampler=getattr(args, "sampler", "ddim"),
-                                     avg_seeds=getattr(args, "avg_seeds", 1))
+                                     avg_seeds=getattr(args, "avg_seeds", 1),
+                                     amp_calib=getattr(args, "amp_calib",
+                                                       "none"))
         for j, i in enumerate(idxs):
             p = preps[i]
             x0_raw = dewhiten_back(x0_white[j].astype(np.float64), p)
@@ -235,10 +237,11 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
         "mae_micro_mean": float(df["mae_norm"].mean()),
         **({"mf_ratio_macro_mean": float(agg["mf_ratio_mean"].mean())}
            if "mf_ratio_mean" in agg.columns else {}),
-        "knobs": {k: getattr(args, k) for k in
+        "knobs": {k: getattr(args, k, None) for k in
                   ["steps", "eta", "start_snr", "init_mode", "cfg_scale",
                    "cfg_mode", "cfg_center", "cfg_width", "dc_weight",
-                   "win", "align", "mae_norm"]},
+                   "win", "align", "mae_norm", "amp_calib", "avg_seeds",
+                   "sampler", "ladder"]},
     }
     with open(os.path.join(args.outdir, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)

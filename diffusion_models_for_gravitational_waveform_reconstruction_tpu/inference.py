@@ -279,6 +279,33 @@ def prepare_measurement(
     }
 
 
+def mf_amp_calibrate(x0_white: np.ndarray, y_white: np.ndarray,
+                     clip: tuple = (0.25, 4.0)):
+    """Post-hoc matched-filter amplitude calibration (extension; addresses
+    the round-2 corr/MF trade-off: v-pred models recover waveform SHAPE
+    (held-out corr 0.81) much better than AMPLITUDE (MF ratio ~0.65)).
+
+    In the whitened domain the noise is white, so the maximum-likelihood
+    amplitude for a fixed template shape r against measurement y is the
+    least-squares scalar s = <y, r> / <r, r>.  When the reconstructed shape
+    is right, E[s] equals the true amplitude ratio with ~1/SNR relative
+    scatter — far tighter than the ~35% systematic deficit it corrects.
+    The recon is rescaled by s (clipped for degenerate recons).
+
+    Returns (calibrated x0_white, s).
+    """
+    x = np.asarray(x0_white, np.float64).ravel()
+    y = np.asarray(y_white, np.float64).ravel()
+    den = float(np.dot(x, x))
+    if den <= 0.0 or not np.isfinite(den):
+        return x0_white, 1.0
+    s = float(np.dot(y, x) / den)
+    if not np.isfinite(s):
+        return x0_white, 1.0
+    s = float(np.clip(s, *clip))
+    return (np.asarray(x0_white) * s).astype(np.asarray(x0_white).dtype), s
+
+
 def dewhiten_back(x: np.ndarray, prep: dict) -> np.ndarray:
     """Invert whatever whitening ``prepare_measurement`` applied (ref
     ``inference.py:819-826``).
@@ -342,9 +369,14 @@ def reconstruct(
     mesh=None,
     avg_seeds: int = 1,
     return_all_seeds: bool = False,
+    amp_calib: str = "none",
 ):
     """Sample x0 for one prepared measurement; returns (x0_hat_raw strain,
     x0_hat_white, diagnostics|None).
+
+    ``amp_calib="mf"`` rescales the whitened recon by the least-squares
+    matched-filter amplitude against the measurement
+    (:func:`mf_amp_calibrate`).
 
     ``tiled_chunk`` > 0 evaluates the U-Net in halo tiles of that length
     (``parallel/seqtile.py``) — the multi-chip long-segment path; with
@@ -400,6 +432,10 @@ def reconstruct(
         x0_norm = x0_norm.mean(axis=0, keepdims=True)
 
     x0_white = np.asarray(x0_norm).ravel() * prep["sigma"]
+    if amp_calib == "mf":
+        x0_white, s_cal = mf_amp_calibrate(x0_white, prep["y_for_cond"])
+        if seeds_white is not None:
+            seeds_white = seeds_white * s_cal
     x0_raw = dewhiten_back(x0_white, prep)
     if return_all_seeds:
         return x0_raw, x0_white, diag, seeds_white
@@ -418,6 +454,7 @@ def reconstruct_batch(
     sampler: str = "ddim",
     mesh=None,
     avg_seeds: int = 1,
+    amp_calib: str = "none",
 ) -> np.ndarray:
     """Batched sampling: one jitted scan over B measurements at once (the
     reference loops samples serially, ``sweep_infer.py:205-243``).
@@ -459,7 +496,13 @@ def reconstruct_batch(
                         key, cfg, clean_norm=cn)
     if S > 1:
         x0_norm = x0_norm.reshape(S, B, *x0_norm.shape[1:]).mean(axis=0)
-    return np.asarray(x0_norm)[:, 0, :] * np.asarray(sigmas)[:, None]
+    x0_white = np.asarray(x0_norm)[:, 0, :] * np.asarray(sigmas)[:, None]
+    if amp_calib == "mf":
+        y_white = (np.asarray(cond_stacks)[:, 0, :]
+                   * np.asarray(sigmas)[:, None])
+        for i in range(x0_white.shape[0]):
+            x0_white[i], _ = mf_amp_calibrate(x0_white[i], y_white[i])
+    return x0_white
 
 
 def proxy_reconstruct(model, params, schedule, prep: dict, cfg: SamplerConfig,

@@ -128,3 +128,31 @@ def test_metrics_float32_physical_strain_safe():
     valid = (freqs >= 20) & (P > 0)
     sig = np.sqrt(4 * (fs / n) * np.sum(np.abs(hf[valid]) ** 2 / P[valid]))
     assert rho_self == pytest.approx(sig, rel=2e-2)
+
+
+def test_mf_amp_calibrate():
+    """Least-squares MF amplitude calibration: recovers a suppressed
+    amplitude against a noisy measurement, no-ops on degenerate recons."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.inference import (
+        mf_amp_calibrate,
+    )
+
+    rng = np.random.default_rng(0)
+    t = np.arange(4096) / 4096.0
+    s_true = np.sin(2 * np.pi * 60 * t) * np.hanning(4096) * 20.0
+    y = s_true + rng.normal(size=4096)          # whitened-domain SNR ~ 20
+    recon = 0.6 * s_true                        # right shape, 40% low
+
+    cal, s = mf_amp_calibrate(recon, y)
+    # amplitude restored to within the ~1/SNR noise floor
+    ratio = np.abs(cal).max() / np.abs(s_true).max()
+    assert 0.9 < ratio < 1.1
+    assert 1.5 < s < 1.9                        # ~1/0.6
+
+    # degenerate recon: unchanged, scale 1
+    cal0, s0 = mf_amp_calibrate(np.zeros(4096), y)
+    assert s0 == 1.0 and np.all(cal0 == 0)
+
+    # clip guard
+    _, s_clip = mf_amp_calibrate(1e-6 * s_true, y)
+    assert s_clip <= 4.0
