@@ -119,24 +119,42 @@ def tau_of_f(mc_s: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
 
 
 def antenna_pattern(ra: float, dec: float, psi: float) -> Tuple[float, float]:
-    """Static long-wavelength antenna response (F+, Fx).
+    """Static long-wavelength antenna response (F+, Fx) — pure formula.
 
     A fixed-orientation single-detector response evaluated at GMST=0; the
     reference's ``Detector.project_wave`` with constant (ra, dec, psi)
     likewise collapses to constant F+, Fx for these short segments.
     """
     # standard interferometer response with arms along x/y
-    cphi, sphi = np.cos(ra), np.sin(ra)
-    cth, sth = np.sin(dec), np.cos(dec)  # theta = pi/2 - dec
+    cth = np.sin(dec)                       # theta = pi/2 - dec
     c2ps, s2ps = np.cos(2 * psi), np.sin(2 * psi)
     fp0 = 0.5 * (1 + cth ** 2) * np.cos(2 * ra)
     fx0 = cth * np.sin(2 * ra)
     fp = fp0 * c2ps - fx0 * s2ps
     fx = fp0 * s2ps + fx0 * c2ps
-    # avoid a degenerate zero response at the default ra=dec=psi=0
-    if abs(fp) < 1e-3 and abs(fx) < 1e-3:
-        fp = 1.0
     return float(fp), float(fx)
+
+
+# The SynthConfig default sky (ra=dec=psi=0) is the documented
+# OPTIMALLY-ORIENTED convention: F+=1, Fx=0 — an overhead, face-on source.
+# (The raw pattern at that exact sky is the degenerate node of THIS
+# detector parametrisation; rather than silently patching it inside
+# antenna_pattern — the round-2 magic fallback — the convention is explicit
+# here and any *explicitly chosen* degenerate sky is rejected.)
+_OPTIMAL_SKY = (0.0, 0.0, 0.0)
+
+
+def resolve_antenna(ra: float, dec: float, psi: float) -> Tuple[float, float]:
+    """(F+, Fx) for a SynthConfig sky, with the optimal-sky convention."""
+    if (ra, dec, psi) == _OPTIMAL_SKY:
+        return 1.0, 0.0
+    fp, fx = antenna_pattern(ra, dec, psi)
+    if abs(fp) < 1e-6 and abs(fx) < 1e-6:
+        raise ValueError(
+            f"sky (ra={ra}, dec={dec}, psi={psi}) has zero antenna "
+            f"response for this detector orientation; pick another sky or "
+            f"use the default optimal orientation")
+    return fp, fx
 
 
 @partial(jax.jit, static_argnames=("n", "fs"))
@@ -320,7 +338,7 @@ def generate_sample(
     'psd_scale' in float64 at the HDF5 boundary), and scalar 'raw_sigma'.
     """
     c = config
-    fp, fx = antenna_pattern(c.ra, c.dec, c.polarization)
+    fp, fx = resolve_antenna(c.ra, c.dec, c.polarization)
     if c.engine == "pn":
         from . import pn as _pn
         h = _pn.pn_chirp(
