@@ -114,7 +114,7 @@ def _inherit_domain_flags(args, ck: dict) -> None:
         args.whiten_mode = str(ck.get("whiten_mode", "auto"))
     if args.sigma_mode is None:
         args.sigma_mode = str(ck.get("sigma_mode", "std"))
-    if args.sigma_fixed is None:
+    if getattr(args, "sigma_fixed", None) is None:
         # a 'fixed'-sigma checkpoint evaluated with the default 1.0 would be
         # a silent domain mismatch (ADVICE r2)
         args.sigma_fixed = float(ck.get("sigma_fixed", 1.0))
