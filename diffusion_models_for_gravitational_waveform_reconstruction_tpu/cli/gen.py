@@ -375,6 +375,36 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     from scipy.signal import welch as scipy_welch
 
+    # Batched Welch PSDs: the reference (and round-2 build) estimate Welch
+    # PSDs serially per sample through scipy — the host bottleneck that
+    # forced --psd-source model on the 50k set.  With the JAX engine and the
+    # default hann window, compute them in per-bucket BATCHES through
+    # ops.whiten.welch_psd (scaled units: physical |strain|^2 ~ 1e-42
+    # underflows f32, so feed strain x 1e21 and undo x 1e-42 in f64).
+    psd_w_pre: Dict[int, tuple] = {}
+    if psd_w_l is not None and args.engine != "pycbc" \
+            and args.psd_window == "hann":
+        import jax.numpy as jnp
+
+        from ..data.synth import STRAIN_SCALE
+        from ..ops.whiten import welch_psd
+
+        by_n: Dict[int, List[int]] = {}
+        for i in range(len(specs)):
+            by_n.setdefault(samples[i]["n"], []).append(i)
+        for n, idxs in sorted(by_n.items()):
+            for c0 in range(0, len(idxs), 256):
+                chunk = idxs[c0:c0 + 256]
+                arr = np.stack([samples[i]["noisy"] for i in chunk])
+                arr = (arr * STRAIN_SCALE).astype(np.float32)
+                f_w, P = welch_psd(jnp.asarray(arr), fs,
+                                   nperseg=min(args.psd_nperseg, n),
+                                   noverlap=args.psd_noverlap)
+                f_w = np.asarray(f_w, np.float64)
+                P = np.asarray(P, np.float64) / (STRAIN_SCALE ** 2)
+                for j, i in enumerate(chunk):
+                    psd_w_pre[i] = (f_w, P[j])
+
     for i, s in enumerate(specs):
         smp = samples[i]
         n = smp["n"]
@@ -386,10 +416,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         if psd_model_l is not None:
             psd_model_l.append(smp["psd"])
         if psd_w_l is not None:
-            f_w, P_w = scipy_welch(smp["noisy"].astype(np.float64), fs=fs,
-                                   nperseg=min(args.psd_nperseg, n),
-                                   noverlap=args.psd_noverlap,
-                                   window=args.psd_window)
+            if i in psd_w_pre:
+                f_w, P_w = psd_w_pre[i]
+            else:
+                f_w, P_w = scipy_welch(smp["noisy"].astype(np.float64), fs=fs,
+                                       nperseg=min(args.psd_nperseg, n),
+                                       noverlap=args.psd_noverlap,
+                                       window=args.psd_window)
             psd_w_l.append(P_w)
             psd_wf_l.append(f_w)
         M = s["m1"] + s["m2"]

@@ -478,3 +478,21 @@ def test_sweep_validation_gate_rejects_losing_combo(workdir, dataset,
     with open(os.path.join(out, "best_cmd.txt")) as fh:
         cmd = fh.read()
     assert "y-blend" in cmd and "--cfg-scale 2.5" in cmd
+
+
+def test_gen_batched_welch_matches_scipy(dataset):
+    """The batched JAX Welch path in gw-gen must store PSDs matching a
+    direct scipy recompute on the saved noisy strain (f64, same params)."""
+    import h5py
+    from scipy.signal import welch as scipy_welch
+
+    with h5py.File(dataset, "r") as f:
+        y = np.asarray(f["noisy"][0], np.float64)
+        P_stored = np.asarray(f["psd_welch"][0], np.float64)
+        fs = float(f.attrs["sampling_rate"])
+    f_w, P_ref = scipy_welch(y, fs=fs, nperseg=min(4096, len(y)))
+    assert P_stored.shape == P_ref.shape
+    # relative agreement on the in-band PSD (both ~1e-46 scale)
+    band = (f_w > 25.0) & (f_w < 1500.0)
+    rel = np.abs(P_stored[band] - P_ref[band]) / P_ref[band]
+    assert np.median(rel) < 5e-3 and rel.max() < 5e-2
