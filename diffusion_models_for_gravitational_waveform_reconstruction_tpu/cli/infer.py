@@ -172,6 +172,12 @@ def main(argv: Optional[List[str]] = None) -> None:
           f"sigma={prep['sigma']:.4g}")
 
     start_t = resolve_start_t(schedule, args.start_t, args.start_snr)
+    if (args.init_mode == "noise" and start_t is not None
+            and int(start_t) < int(0.8 * schedule.T)):
+        print(f"[infer] WARNING: init_mode=noise with start_t={int(start_t)} "
+              f"(< 0.8*T={schedule.T}): pure-noise init below the top of the "
+              f"chain is a domain mismatch; expect near-zero correlation",
+              file=sys.stderr)
     cfg = SamplerConfig(
         steps=args.steps, eta=args.eta, start_t=start_t,
         init_mode=args.init_mode, x0_std_est=args.x0_std_est,

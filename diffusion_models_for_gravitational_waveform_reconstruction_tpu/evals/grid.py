@@ -136,6 +136,17 @@ def eval_indices(
                           or ("lambda"
                               if getattr(args, "sampler", "ddim") == "dpmpp"
                               else "t"))
+    # Stash the RESOLVED start_t for summary.json (its omission from the
+    # recorded knobs made a start-t mismatch between two otherwise-identical
+    # eval runs invisible — r3 debugging cost).
+    args._start_t_resolved = int(cfg.start_t)
+    if args.init_mode == "noise" and cfg.start_t < int(0.8 * schedule.T):
+        import sys
+        print(f"[grid] WARNING: init_mode=noise with resolved start_t="
+              f"{int(cfg.start_t)} (< 0.8*T={schedule.T}): pure-noise init "
+              f"below the top of the chain is a domain mismatch and yields "
+              f"near-zero correlation; pass --start-t {schedule.T - 1} "
+              f"(or an --init-mode that uses y)", file=sys.stderr)
 
     by_len: Dict[int, List[int]] = {}
     for i, p in enumerate(preps):
@@ -238,10 +249,11 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
         **({"mf_ratio_macro_mean": float(agg["mf_ratio_mean"].mean())}
            if "mf_ratio_mean" in agg.columns else {}),
         "knobs": {k: getattr(args, k, None) for k in
-                  ["steps", "eta", "start_snr", "init_mode", "cfg_scale",
-                   "cfg_mode", "cfg_center", "cfg_width", "dc_weight",
-                   "win", "align", "mae_norm", "amp_calib", "avg_seeds",
-                   "sampler", "ladder"]},
+                  ["steps", "eta", "start_snr", "start_t", "init_mode",
+                   "cfg_scale", "cfg_mode", "cfg_center", "cfg_width",
+                   "dc_weight", "win", "align", "mae_norm", "amp_calib",
+                   "avg_seeds", "sampler", "ladder", "seed"]},
+        "start_t_resolved": getattr(args, "_start_t_resolved", None),
     }
     with open(os.path.join(args.outdir, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
