@@ -174,8 +174,27 @@ def main(argv: Optional[List[str]] = None) -> None:
     if len(indices) == 0:
         raise SystemExit("no cells satisfy --min-per-cell")
 
+    # --model accepts comma-separated checkpoints: the first is primary
+    # (domain flags, schedule); the rest are ensembled in reconstruct_batch
+    # (same sampling noise per member, average of predictions).
+    model_paths = [p for p in args.model.split(",") if p]
+    args.model = model_paths[0]
     model, params, schedule, ck = load_model(args.model)
     _inherit_domain_flags(args, ck)
+    extra_models = []
+    for mp in model_paths[1:]:
+        e_model, e_params, _e_sched, e_ck = load_model(mp)
+        for k2 in ("pred_type", "T", "whiten", "whiten_mode", "sigma_mode",
+                   "in_ch", "cond_in_ch", "schedule"):
+            if str(e_ck.get(k2)) != str(ck.get(k2)):
+                raise SystemExit(
+                    f"gw-grid: ensemble member {mp} disagrees with primary "
+                    f"on {k2} ({e_ck.get(k2)!r} vs {ck.get(k2)!r}) — members "
+                    f"must share the sampling/conditioning domain")
+        extra_models.append((e_model, e_params))
+    if extra_models:
+        args._extra_models = extra_models
+        print(f"[grid] ensembling {len(model_paths)} checkpoints")
     preps = prep_samples(args.input_h5, indices, ck, args.model,
                          bool(args.whiten), args.whiten_mode,
                          args.sigma_mode, args.sigma_fixed)

@@ -165,7 +165,9 @@ def eval_indices(
                                      sampler=getattr(args, "sampler", "ddim"),
                                      avg_seeds=getattr(args, "avg_seeds", 1),
                                      amp_calib=getattr(args, "amp_calib",
-                                                       "none"))
+                                                       "none"),
+                                     extra_models=getattr(
+                                         args, "_extra_models", None))
         for j, i in enumerate(idxs):
             p = preps[i]
             x0_raw = dewhiten_back(x0_white[j].astype(np.float64), p)

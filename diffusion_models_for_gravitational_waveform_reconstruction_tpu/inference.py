@@ -455,6 +455,7 @@ def reconstruct_batch(
     mesh=None,
     avg_seeds: int = 1,
     amp_calib: str = "none",
+    extra_models: Optional[list] = None,
 ) -> np.ndarray:
     """Batched sampling: one jitted scan over B measurements at once (the
     reference loops samples serially, ``sweep_infer.py:205-243``).
@@ -469,11 +470,14 @@ def reconstruct_batch(
     SAME batched scan (batch S·B) and averages: the conditioned signal is
     coherent across draws while residual sampler noise averages down ~1/√S.
 
+    ``extra_models`` (extension): list of ``(model, params)`` checkpoint
+    pairs ensembled with the primary — every member samples with the SAME
+    key (identical init/per-step noise) so the average isolates model
+    disagreement; seed diversity stays ``avg_seeds``' job.  Members must
+    share schedule/pred_type/conditioning domain (callers validate).
+
     Returns whitened-domain reconstructions (B, L).
     """
-
-    def model_fn(p, x, t):
-        return model.apply(p, x, t)
 
     sample_fn = {"ddim": ddim_sample, "ddpm": ddpm_sample,
                  "dpmpp": dpmpp_sample}[sampler]
@@ -489,11 +493,19 @@ def reconstruct_batch(
         from .parallel import mesh as pmesh
 
         cond = jax.device_put(cond, pmesh.batch_sharding(mesh))
-        params = pmesh.replicate_tree(params, mesh)
         if cn is not None:
             cn = jax.device_put(cn, pmesh.batch_sharding(mesh))
-    x0_norm = sample_fn(model_fn, params, schedule, cond,
-                        key, cfg, clean_norm=cn)
+    pairs = [(model, params)] + list(extra_models or [])
+    x0_norm = None
+    for m_i, p_i in pairs:
+        if mesh is not None:
+            from .parallel import mesh as pmesh
+
+            p_i = pmesh.replicate_tree(p_i, mesh)
+        out = sample_fn(lambda p, x, t, _m=m_i: _m.apply(p, x, t),
+                        p_i, schedule, cond, key, cfg, clean_norm=cn)
+        x0_norm = out if x0_norm is None else x0_norm + out
+    x0_norm = x0_norm / len(pairs)
     if S > 1:
         x0_norm = x0_norm.reshape(S, B, *x0_norm.shape[1:]).mean(axis=0)
     x0_white = np.asarray(x0_norm)[:, 0, :] * np.asarray(sigmas)[:, None]

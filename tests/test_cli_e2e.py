@@ -496,3 +496,26 @@ def test_gen_batched_welch_matches_scipy(dataset):
     band = (f_w > 25.0) & (f_w < 1500.0)
     rel = np.abs(P_stored[band] - P_ref[band]) / P_ref[band]
     assert np.median(rel) < 5e-3 and rel.max() < 5e-2
+
+
+def test_grid_cli_checkpoint_ensemble(workdir, dataset, checkpoint):
+    """gw-grid --model a,b ensembles checkpoints: a self-ensemble (same
+    checkpoint twice, shared sampling key) must reproduce the single-model
+    metrics exactly."""
+    out1 = os.path.join(workdir, "grid_solo")
+    out2 = os.path.join(workdir, "grid_ens")
+    common = ["--input-h5", dataset, "--outdir", None, "--steps", "4",
+              "--per-cell", "1", "--min-per-cell", "1", "--start-t", "999"]
+    a = list(common); a[3] = out1
+    cli_grid.main(["--model", checkpoint] + a)
+    b = list(common); b[3] = out2
+    cli_grid.main(["--model", f"{checkpoint},{checkpoint}"] + b)
+    with open(os.path.join(out1, "summary.json")) as fh:
+        s1 = json.load(fh)
+    with open(os.path.join(out2, "summary.json")) as fh:
+        s2 = json.load(fh)
+    assert abs(s1["corr_macro_mean"] - s2["corr_macro_mean"]) < 1e-6
+    # --start-t 999 is clipped to the checkpoint's T-1 and recorded
+    assert s2["start_t_resolved"] == s1["start_t_resolved"]
+    assert s2["start_t_resolved"] is not None
+    assert s2["start_t_resolved"] >= 1

@@ -368,3 +368,48 @@ def test_reconstruct_batch_avg_seeds_variance_reduction():
     assert d16 < d1, (d16, d1)
     # averaged output stays centred on the per-seed family, not shifted
     assert np.abs(a16.mean() - a1.mean()) < 10 * np.abs(a1).mean()
+
+
+def test_reconstruct_batch_model_ensemble():
+    """extra_models ensembling: members sample with the SAME key, so
+    ensemble([A, A]) == single(A) exactly and ensemble([A, B]) equals the
+    mean of the individual deterministic (eta=0) reconstructions."""
+    import flax.linen as nn
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.inference import (
+        reconstruct_batch,
+    )
+
+    class TinyNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, t):
+            h = nn.Conv(4, (3,), padding="SAME")(jnp.moveaxis(x, 1, -1))
+            h = nn.silu(h)
+            h = nn.Conv(1, (3,), padding="SAME")(h)
+            return jnp.moveaxis(h, -1, 1)
+
+    sched = make_schedule(50, "cosine")
+    model = TinyNet()
+    B, L = 2, 64
+    cond = np.random.default_rng(3).normal(size=(B, 1, L)).astype(np.float32)
+    pa = model.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 2, L)), jnp.zeros((1,), jnp.int32))
+    pb = model.init(jax.random.PRNGKey(9),
+                    jnp.zeros((1, 2, L)), jnp.zeros((1,), jnp.int32))
+    sigmas = np.ones((B,), np.float32)
+    cfg = SamplerConfig(steps=6, eta=0.0, cfg_scale=1.0, use_selfcond=False)
+    key = jax.random.PRNGKey(7)
+
+    solo_a = reconstruct_batch(model, pa, sched, cond, sigmas, cfg, key)
+    solo_b = reconstruct_batch(model, pb, sched, cond, sigmas, cfg, key)
+    ens_aa = reconstruct_batch(model, pa, sched, cond, sigmas, cfg, key,
+                               extra_models=[(model, pa)])
+    ens_ab = reconstruct_batch(model, pa, sched, cond, sigmas, cfg, key,
+                               extra_models=[(model, pb)])
+    np.testing.assert_allclose(ens_aa, solo_a, rtol=1e-5, atol=1e-6)
+    # each member runs its own full scan from the SAME key; the ensemble is
+    # the mean of the final whitened reconstructions (linear in sigma
+    # scaling), so with eta=0 it equals the member mean exactly
+    np.testing.assert_allclose(ens_ab, 0.5 * (solo_a + solo_b),
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(ens_ab - solo_a).max() > 1e-7   # actually differs from A
