@@ -1,0 +1,65 @@
+"""tools/merge_h5.py: stream-concatenation of gw-gen HDF5 datasets."""
+import sys
+from pathlib import Path
+
+import h5py
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from tools.merge_h5 import main as merge_main  # noqa: E402
+
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.hdf5io import (  # noqa: E402
+    write_dataset,
+)
+
+
+def _make(path, rng, n, extra_key=None):
+    lengths = rng.integers(800, 2000, size=n)
+    signal = [rng.normal(size=L).astype(np.float32) for L in lengths]
+    noise = [rng.normal(size=L).astype(np.float32) for L in lengths]
+    noisy = [s + x for s, x in zip(signal, noise)]
+    times = [np.arange(L) / 4096.0 for L in lengths]
+    meta = {"mass1": rng.uniform(20, 50, n), "mass2": rng.uniform(20, 50, n),
+            "spin1z": np.zeros(n), "spin2z": np.zeros(n),
+            "q": np.ones(n), "chirp_mass": np.full(n, 23.9),
+            "snr": np.full(n, 10.0)}
+    write_dataset(str(path), signal, noise, noisy, times, meta, 4096.0)
+    if extra_key:
+        with h5py.File(path, "a") as f:
+            f.create_dataset(extra_key, data=np.zeros(n, np.float32))
+    return signal, meta
+
+
+def test_merge_concat_and_key_intersection(tmp_path, rng):
+    p1, p2, out = tmp_path / "a.h5", tmp_path / "b.h5", tmp_path / "m.h5"
+    sig1, meta1 = _make(p1, rng, 5, extra_key="psd_welch")
+    sig2, meta2 = _make(p2, rng, 3)
+    merge_main(str(out), [str(p1), str(p2)])
+    with h5py.File(out, "r") as f:
+        assert f["lengths"].shape[0] == 8
+        # extra key present in only one input is dropped
+        assert "psd_welch" not in f
+        # vlen rows bitwise-preserved across the boundary
+        assert np.array_equal(f["signal"][0], sig1[0])
+        assert np.array_equal(f["signal"][4], sig1[4])
+        assert np.array_equal(f["signal"][5], sig2[0])
+        assert np.array_equal(f["signal"][7], sig2[2])
+        # scalars concatenated in order
+        assert np.allclose(f["mass1"][:5], meta1["mass1"].astype(np.float32))
+        assert np.allclose(f["mass1"][5:], meta2["mass1"].astype(np.float32))
+        # provenance attr
+        assert "merged_from" in f.attrs
+        # attrs inherited from the first input
+        assert float(f.attrs["sampling_rate"]) == 4096.0
+
+
+def test_merge_rejects_fs_mismatch(tmp_path, rng):
+    p1, p2, out = tmp_path / "a.h5", tmp_path / "b.h5", tmp_path / "m.h5"
+    _make(p1, rng, 2)
+    _make(p2, rng, 2)
+    with h5py.File(p2, "a") as f:
+        f.attrs["sampling_rate"] = 8192.0
+        f.attrs["delta_t"] = 1.0 / 8192.0
+    with pytest.raises(AssertionError):
+        merge_main(str(out), [str(p1), str(p2)])
