@@ -17,6 +17,7 @@ setup(
             "gw-infer=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.infer:main",
             "gw-sweep=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.sweep:main",
             "gw-grid=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.grid:main",
+            "gw-merge=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.merge:main",
         ]
     },
 )

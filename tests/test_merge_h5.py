@@ -61,5 +61,18 @@ def test_merge_rejects_fs_mismatch(tmp_path, rng):
     with h5py.File(p2, "a") as f:
         f.attrs["sampling_rate"] = 8192.0
         f.attrs["delta_t"] = 1.0 / 8192.0
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         merge_main(str(out), [str(p1), str(p2)])
+
+
+def test_gw_merge_cli(tmp_path, rng, capsys):
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.merge import (
+        main as cli_main,
+    )
+    p1, p2, out = tmp_path / "a.h5", tmp_path / "b.h5", tmp_path / "m.h5"
+    _make(p1, rng, 3)
+    _make(p2, rng, 2)
+    cli_main(["--output-path", str(out), str(p1), str(p2)])
+    assert "wrote 5 samples" in capsys.readouterr().out
+    with h5py.File(out, "r") as f:
+        assert f["lengths"].shape[0] == 5
