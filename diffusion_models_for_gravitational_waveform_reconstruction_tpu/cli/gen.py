@@ -127,7 +127,24 @@ def chirp_duration_s(m1: float, m2: float, f_lower: float) -> float:
     return float(tau_of_f(jnp.asarray(mc_s), jnp.asarray(f_lower)))
 
 
-def probe_config(m1: float, m2: float, f_lower: float, max_seconds: float) -> bool:
+def config_duration_s(m1: float, m2: float, f_lower: float,
+                      approximant: str = "newtonian",
+                      s1: float = 0.0, s2: float = 0.0) -> float:
+    """Engine-matched chirp duration: PN tau (spin-dependent; ~20%+ longer
+    than Newtonian on heavy systems) when the PN engine will generate the
+    waveform, Newtonian otherwise — so ``--max-seconds`` gates the ACTUAL
+    segment the engine produces."""
+    if approximant == "pn":
+        from ..data.pn import pn_duration
+        import jax.numpy as jnp
+        return float(pn_duration(jnp.asarray(m1), jnp.asarray(m2),
+                                 jnp.asarray(s1), jnp.asarray(s2), f_lower))
+    return chirp_duration_s(m1, m2, f_lower)
+
+
+def probe_config(m1: float, m2: float, f_lower: float, max_seconds: float,
+                 approximant: str = "newtonian",
+                 s1: float = 0.0, s2: float = 0.0) -> bool:
     """Physics probe standing in for the reference's try-generate probe
     (``gen.py:601-606``, ``gen.py:669-688``)."""
     from ..data.synth import isco_frequency
@@ -136,7 +153,7 @@ def probe_config(m1: float, m2: float, f_lower: float, max_seconds: float) -> bo
     f_isco = float(isco_frequency(jnp.asarray(m1), jnp.asarray(m2)))
     if f_isco <= 1.05 * f_lower:
         return False           # merger at/below the band edge: nothing in band
-    if chirp_duration_s(m1, m2, f_lower) > max_seconds:
+    if config_duration_s(m1, m2, f_lower, approximant, s1, s2) > max_seconds:
         return False
     return True
 
@@ -145,21 +162,31 @@ def next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
+def padded_pow2_len(dur_s: float, fs: int,
+                    t_post: float = 0.05, lead: float = 0.35) -> int:
+    """duration -> static segment length: + taper lead + ringdown tail,
+    rounded up to a power of two (min 1024).  Single source of truth for
+    the padding convention (shared by the Newtonian and PN bucket paths)."""
+    return max(1024, next_pow2(int(np.ceil((dur_s + lead + t_post) * fs))))
+
+
 def bucket_length(m1: float, m2: float, f_lower: float, fs: int,
                   t_post: float = 0.05, lead: float = 0.35) -> int:
-    """Static segment length: chirp time + taper lead + ringdown tail,
-    rounded up to a power of two (min 1024)."""
-    dur = chirp_duration_s(m1, m2, f_lower) + lead + t_post
-    return max(1024, next_pow2(int(np.ceil(dur * fs))))
+    """Static segment length for a Newtonian chirp."""
+    return padded_pow2_len(chirp_duration_s(m1, m2, f_lower), fs,
+                           t_post=t_post, lead=lead)
 
 
 def build_specs(args, rng: np.random.Generator) -> List[dict]:
     """Per-sample generation specs for all three modes."""
     specs: List[dict] = []
 
+    approximant = getattr(args, "approximant", "newtonian")
+
     if args.mode == "fixed":
         m1, m2 = max(args.mass1, args.mass2), min(args.mass1, args.mass2)
-        if not probe_config(m1, m2, args.f_lower, args.max_seconds):
+        if not probe_config(m1, m2, args.f_lower, args.max_seconds,
+                            approximant):
             raise SystemExit(f"fixed config (m1={m1}, m2={m2}) fails the probe "
                              f"(ISCO vs f_lower or > --max-seconds)")
         for _ in range(args.num_samples):
@@ -177,10 +204,13 @@ def build_specs(args, rng: np.random.Generator) -> List[dict]:
             a = rng.uniform(args.mass1_min, args.mass1_max)
             b = rng.uniform(args.mass2_min, args.mass2_max)
             m1, m2 = max(a, b), min(a, b)          # sorted m1 >= m2 (gen.py:201)
-            if not probe_config(m1, m2, args.f_lower, args.max_seconds):
-                continue
             s1 = rng.uniform(args.spin1_min, args.spin1_max)
             s2 = rng.uniform(args.spin2_min, args.spin2_max)
+            # probe with the DRAWN spins: aligned spin lengthens the PN
+            # chirp, so a spinless probe would let --max-seconds be exceeded
+            if not probe_config(m1, m2, args.f_lower, args.max_seconds,
+                                approximant, s1, s2):
+                continue
             specs.append(dict(
                 m1=m1, m2=m2, s1=s1, s2=s2,
                 snr=rng.uniform(args.snr_min, args.snr_max),
@@ -197,9 +227,16 @@ def build_specs(args, rng: np.random.Generator) -> List[dict]:
     m2_axis = np.linspace(args.mass2_min, args.mass2_max, args.grid_steps)
     combos = [(float(a), float(b)) for a in m1_axis for b in m2_axis if b <= a]
     ok_combos, failed = [], []
+    # spins are drawn per-sample AFTER the combo probe, so probe each combo
+    # at the longest-duration spin corner (aligned positive spin lengthens
+    # the PN chirp) — every later draw then satisfies --max-seconds
+    probe_corners = [(0.0, 0.0)] if approximant != "pn" else [
+        (args.spin1_min, args.spin2_min), (args.spin1_max, args.spin2_max)]
     for (a, b) in combos:
-        (ok_combos if probe_config(a, b, args.f_lower, args.max_seconds)
-         else failed).append((a, b))
+        ok = all(probe_config(a, b, args.f_lower, args.max_seconds,
+                              approximant, s1c, s2c)
+                 for (s1c, s2c) in probe_corners)
+        (ok_combos if ok else failed).append((a, b))
     if failed:
         msg = f"[gen] {len(failed)}/{len(combos)} grid combos failed probe: " \
               f"{failed[:8]}{'...' if len(failed) > 8 else ''}"
@@ -265,8 +302,7 @@ def generate_jax(specs: List[dict], args) -> Dict[int, dict]:
             jnp.asarray([s["s2"] for s in specs]),
             args.f_lower))
         for i, d in enumerate(durs):
-            n = max(1024, next_pow2(int(np.ceil((d + 0.35 + 0.05) * fs))))
-            by_len.setdefault(n, []).append(i)
+            by_len.setdefault(padded_pow2_len(float(d), fs), []).append(i)
     else:
         for i, s in enumerate(specs):
             n = bucket_length(s["m1"], s["m2"], args.f_lower, fs)

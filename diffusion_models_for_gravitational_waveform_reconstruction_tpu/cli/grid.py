@@ -185,12 +185,23 @@ def main(argv: Optional[List[str]] = None) -> None:
     for mp in model_paths[1:]:
         e_model, e_params, _e_sched, e_ck = load_model(mp)
         for k2 in ("pred_type", "T", "whiten", "whiten_mode", "sigma_mode",
-                   "in_ch", "cond_in_ch", "schedule"):
+                   "sigma_fixed", "in_ch", "cond_in_ch", "schedule"):
             if str(e_ck.get(k2)) != str(ck.get(k2)):
                 raise SystemExit(
                     f"gw-grid: ensemble member {mp} disagrees with primary "
                     f"on {k2} ({e_ck.get(k2)!r} vs {ck.get(k2)!r}) — members "
                     f"must share the sampling/conditioning domain")
+        # the cond stack is built once with the PRIMARY's meta_scale — a
+        # member trained with different normalisation would silently see
+        # mis-scaled m1/m2/q/Mc channels
+        ms_p, ms_e = ck.get("meta_scale") or {}, e_ck.get("meta_scale") or {}
+        for k2 in set(ms_p) | set(ms_e):
+            if not np.isclose(float(ms_p.get(k2, 0.0)),
+                              float(ms_e.get(k2, 0.0)), rtol=1e-3):
+                raise SystemExit(
+                    f"gw-grid: ensemble member {mp} disagrees with primary "
+                    f"on meta_scale[{k2!r}] ({ms_e.get(k2)} vs {ms_p.get(k2)})"
+                    f" — conditioning channels would be mis-scaled")
         extra_models.append((e_model, e_params))
     if extra_models:
         args._extra_models = extra_models

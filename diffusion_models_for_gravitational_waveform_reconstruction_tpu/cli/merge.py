@@ -20,8 +20,20 @@ import numpy as np
 CHUNK = 2048
 
 
+def _n_rows(f: h5py.File) -> int:
+    """Row count; 'lengths' is optional in the schema (StreamingDataset
+    derives it from vlen rows), so fall back to the noisy dataset."""
+    return int((f["lengths"] if "lengths" in f else f["noisy"]).shape[0])
+
+
 def merge(out_path: str, in_paths: list) -> int:
     """Concatenate ``in_paths`` into ``out_path``; returns total rows."""
+    import os
+    for p in in_paths:
+        if os.path.exists(out_path) and os.path.samefile(out_path, p):
+            raise ValueError(
+                f"--output-path {out_path!r} is also an input; opening it "
+                f"for write would truncate the source dataset")
     ins = [h5py.File(p, "r") for p in in_paths]
     try:
         keys = [k for k in ins[0].keys()
@@ -39,7 +51,7 @@ def merge(out_path: str, in_paths: list) -> int:
                         raise ValueError(
                             f"attr {a!r} mismatch across inputs: "
                             f"{float(ins[0].attrs[a])} vs {float(f.attrs[a])}")
-        n_total = sum(f["lengths"].shape[0] for f in ins)
+        n_total = sum(_n_rows(f) for f in ins)
         with h5py.File(out_path, "w") as out:
             for k in keys:
                 src = ins[0][k]
@@ -62,7 +74,7 @@ def merge(out_path: str, in_paths: list) -> int:
             for a, v in ins[0].attrs.items():
                 out.attrs[a] = v
             out.attrs["merged_from"] = json.dumps(
-                [{"path": p, "n": int(f["lengths"].shape[0])}
+                [{"path": p, "n": _n_rows(f)}
                  for p, f in zip(in_paths, ins)])
         return n_total
     finally:

@@ -697,7 +697,10 @@ def iterate_batches(
         for bi in range(n_batches):
             sel = idx[bi * batch_size:(bi + 1) * batch_size]
             if len(sel) < batch_size:
-                fill = idx[: batch_size - len(sel)]
+                # np.resize wraps idx cyclically, so buckets smaller than
+                # the shortfall still fill to a full static batch (equals
+                # idx[:k] whenever the bucket is big enough)
+                fill = np.resize(idx, batch_size - len(sel))
                 sel = np.concatenate([sel, fill])
             order.append((Lb, sel))
     if shuffle:
@@ -751,7 +754,9 @@ def upload_buckets(ds, budget_bytes: int = 10 << 30, sharding=None):
             return jnp.asarray(v)
         pad = (-v.shape[0]) % n_data
         if pad:
-            v = np.concatenate([v, v[:pad]], axis=0)
+            # wrap-fill; np.resize repeats the whole array as needed, so
+            # buckets with fewer rows than `pad` still pad correctly
+            v = np.resize(v, (v.shape[0] + pad,) + v.shape[1:])
         return jax.device_put(v, sharding)
 
     return {
@@ -796,7 +801,10 @@ def device_resident_batches(
         for bi in range(n_batches):
             sel = idx[bi * batch_size:(bi + 1) * batch_size]
             if len(sel) < batch_size:
-                fill = idx[: batch_size - len(sel)]
+                # np.resize wraps idx cyclically, so buckets smaller than
+                # the shortfall still fill to a full static batch (equals
+                # idx[:k] whenever the bucket is big enough)
+                fill = np.resize(idx, batch_size - len(sel))
                 sel = np.concatenate([sel, fill])
             order.append((Lb, sel))
     if shuffle:

@@ -377,6 +377,9 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
 
     finals.sort(key=lambda r: -r["J"])
     top = finals[0]
+    # persist refine results BEFORE the validation gate: the gate runs extra
+    # reconstructions, and an error there must not lose the whole sweep
+    _dump(args.outdir, "final_results.json", finals)
     key, k_val = jax.random.split(key)
     top["validation"] = _emit_best_cmd(args, model, params, schedule, ck,
                                        top, args.steps_refine, k_val)

@@ -433,8 +433,16 @@ def make_debug_x0_fn(model: UNet1D, schedule: DiffusionSchedule,
             n = jnp.maximum(w.sum(), 1.0)
             a = a - a.sum() / n * w
             b = b - b.sum() / n * w
-            den = jnp.sqrt((a * a).sum()) * jnp.sqrt((b * b).sum()) + 1e-12
-            return (a * b).sum() / den
+            # normalise by max-abs first: correlation is scale-invariant,
+            # and physical strain (~1e-22) would otherwise underflow f32
+            # products; zero-guard the denominator instead of adding an
+            # absolute eps (which swamps physical scales — CLAUDE.md rule)
+            amax = jnp.max(jnp.abs(a))
+            bmax = jnp.max(jnp.abs(b))
+            a = jnp.where(amax > 0, a / amax, a)
+            b = jnp.where(bmax > 0, b / bmax, b)
+            den = jnp.sqrt((a * a).sum()) * jnp.sqrt((b * b).sum())
+            return jnp.where(den > 0, (a * b).sum() / den, 0.0)
 
         m0 = mask[:1]
         msum = jnp.maximum(m0.sum(), 1.0)
@@ -626,7 +634,10 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
     want_mesh = cfg.data_parallel or int(cfg.tp) > 1
     if mesh is None and want_mesh and len(jax.devices()) > 1:
         n_model = max(1, int(cfg.tp))
-        n_data = max(1, len(jax.devices()) // n_model)
+        # respect an explicit --no-data-parallel: leftover devices must NOT
+        # silently re-enable a data axis the user disabled
+        n_data = (max(1, len(jax.devices()) // n_model)
+                  if cfg.data_parallel else 1)
         if n_model > len(jax.devices()):
             raise ValueError(
                 f"--tp {cfg.tp} requested but only {len(jax.devices())} "
