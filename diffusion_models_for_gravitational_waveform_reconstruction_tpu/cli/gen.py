@@ -291,9 +291,10 @@ def generate_jax(specs: List[dict], args) -> Dict[int, dict]:
     approximant = getattr(args, "approximant", "pn")
     by_len: Dict[int, List[int]] = {}
     if approximant == "pn":
-        # PN durations are spin- and PN-order-dependent (1PN lengthens
-        # heavy systems ~20% over the Newtonian estimate; aligned spin
-        # lengthens further) — bucket on the actual tau, one vectorized call
+        # PN durations are spin- and PN-order-dependent (spinless PN is
+        # ~10-35% SHORTER than the Newtonian to-coalescence estimate at
+        # 25-48 Msun; aligned +0.8 spin lengthens back past it) — bucket on
+        # the actual tau, one vectorized call
         from ..data.pn import pn_duration
         durs = np.asarray(pn_duration(
             jnp.asarray([s["m1"] for s in specs]),

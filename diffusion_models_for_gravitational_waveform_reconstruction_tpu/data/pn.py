@@ -252,7 +252,8 @@ def pn_duration(m1, m2, chi1, chi2, f_lower: float = 20.0):
     """tau at the f_lower crossing — PN chirp duration in seconds.
 
     Vectorized over leading dims; used by the gen CLI for length bucketing
-    (the 1PN term lengthens heavy systems ~20% over the Newtonian estimate).
+    (PN tau differs from the Newtonian estimate by 10-35% and is
+    spin-dependent, so buckets must use the engine's actual duration).
     """
     M_s, eta = mass_params(m1, m2)
     beta, sigma = spin_phasing_params(m1, m2, chi1, chi2)

@@ -393,6 +393,27 @@ def make_probe_fn(model: UNet1D, schedule: DiffusionSchedule, cfg: TrainConfig):
     return probe
 
 
+def masked_corr(a, b, m):
+    """Masked Pearson correlation, scale-invariant at physical-strain
+    magnitudes: inputs are max-abs-normalised before the products (f32
+    products of ~1e-22 values are subnormal and flush to zero on TPU), and
+    the denominator is zero-GUARDED, never eps-padded (an absolute eps
+    swamps physical scales — the reference's corr-eps bug; CLAUDE.md rule).
+    """
+    w = m.reshape(-1)
+    a = a.reshape(-1) * w
+    b = b.reshape(-1) * w
+    n = jnp.maximum(w.sum(), 1.0)
+    a = a - a.sum() / n * w
+    b = b - b.sum() / n * w
+    amax = jnp.max(jnp.abs(a))
+    bmax = jnp.max(jnp.abs(b))
+    a = jnp.where(amax > 0, a / amax, a)
+    b = jnp.where(bmax > 0, b / bmax, b)
+    den = jnp.sqrt((a * a).sum()) * jnp.sqrt((b * b).sum())
+    return jnp.where(den > 0, (a * b).sum() / den, 0.0)
+
+
 def make_debug_x0_fn(model: UNet1D, schedule: DiffusionSchedule,
                      cfg: TrainConfig):
     """First-batch one-step-x0 quality probe (ref ``train.py:544-576``):
@@ -425,24 +446,7 @@ def make_debug_x0_fn(model: UNet1D, schedule: DiffusionSchedule,
         else:
             x0_hat_norm = eps_to_x0(schedule, x_t, out, t)
         x0_hat = x0_hat_norm * sigma_
-
-        def corr_masked(a, b, m):
-            w = m.reshape(-1)
-            a = a.reshape(-1) * w
-            b = b.reshape(-1) * w
-            n = jnp.maximum(w.sum(), 1.0)
-            a = a - a.sum() / n * w
-            b = b - b.sum() / n * w
-            # normalise by max-abs first: correlation is scale-invariant,
-            # and physical strain (~1e-22) would otherwise underflow f32
-            # products; zero-guard the denominator instead of adding an
-            # absolute eps (which swamps physical scales — CLAUDE.md rule)
-            amax = jnp.max(jnp.abs(a))
-            bmax = jnp.max(jnp.abs(b))
-            a = jnp.where(amax > 0, a / amax, a)
-            b = jnp.where(bmax > 0, b / bmax, b)
-            den = jnp.sqrt((a * a).sum()) * jnp.sqrt((b * b).sum())
-            return jnp.where(den > 0, (a * b).sum() / den, 0.0)
+        corr_masked = masked_corr
 
         m0 = mask[:1]
         msum = jnp.maximum(m0.sum(), 1.0)

@@ -1,0 +1,144 @@
+"""Regression tests pinning the round-3 review fixes."""
+import numpy as np
+import pytest
+
+
+# --- pipeline wrap-fill: buckets smaller than the shortfall / mesh axis ----
+
+def _tiny_ds(n_rows=3, L=1000, seed=0):
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.pipeline import (
+        dataset_from_arrays,
+    )
+    rng = np.random.default_rng(seed)
+    sig = [rng.normal(size=L).astype(np.float32) for _ in range(n_rows)]
+    noisy = [s + rng.normal(size=L).astype(np.float32) for s in sig]
+    return dataset_from_arrays(noisy, sig, 4096.0)
+
+
+def test_wrap_fill_bucket_smaller_than_batch():
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data import (
+        pipeline as P,
+    )
+    ds = _tiny_ds(3)
+    bs = list(P.iterate_batches(ds, batch_size=8,
+                                rng=np.random.default_rng(1)))
+    assert all(b["clean"].shape[0] == 8 for b in bs)
+    # device path stays bit-identical to the host path
+    dev = P.upload_buckets(ds)
+    bs2 = list(P.device_resident_batches(ds, 8, np.random.default_rng(1),
+                                         dev))
+    for a, b in zip(bs, bs2):
+        assert np.allclose(a["clean"], np.asarray(b["clean"]))
+
+
+def test_sharded_upload_bucket_smaller_than_mesh_axis():
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data import (
+        pipeline as P,
+    )
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+    ds = _tiny_ds(3)  # 3 rows, pad to 8 needs 5 wrap rows (> bucket size)
+    dev = P.upload_buckets(ds, sharding=sh)
+    assert dev is not None
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    bs = list(P.device_resident_batches(ds, n_dev, np.random.default_rng(1),
+                                        dev, sharding=sh))
+    assert all(b["clean"].shape[0] == n_dev for b in bs)
+
+
+# --- gen probe: PN duration gating -----------------------------------------
+
+def test_probe_config_pn_duration_gates():
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.gen import (
+        config_duration_s,
+        probe_config,
+    )
+    # the engines genuinely disagree on duration (PN terminates at the Kerr
+    # ISCO and carries 1PN..3.5PN + spin phasing; measured: spinless PN is
+    # SHORTER than the Newtonian to-coalescence estimate, while aligned
+    # positive spin lengthens past it)
+    d_newt = config_duration_s(25.0, 25.0, 20.0, "newtonian")
+    d_pn = config_duration_s(25.0, 25.0, 20.0, "pn")
+    d_up = config_duration_s(25.0, 25.0, 20.0, "pn", 0.8, 0.8)
+    d_dn = config_duration_s(25.0, 25.0, 20.0, "pn", -0.8, -0.8)
+    assert abs(d_pn - d_newt) / d_newt > 0.05
+    assert d_dn < d_pn < d_up
+    # a cap between the spinless and max-spin PN durations gates the
+    # spinning config but not the spinless one — the probe must see spins
+    cap = 0.5 * (d_pn + d_up)
+    assert probe_config(25.0, 25.0, 20.0, cap, "pn")
+    assert not probe_config(25.0, 25.0, 20.0, cap, "pn", 0.8, 0.8)
+
+
+# --- masked_corr: physical-strain scale invariance --------------------------
+
+def test_masked_corr_physical_strain_scale():
+    import jax.numpy as jnp
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.training.train import (
+        masked_corr,
+    )
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(1, 1, 512)).astype(np.float32)
+    m = np.ones_like(a)
+    # perfect correlation at strain scale 1e-22 (f32 products subnormal)
+    c = float(masked_corr(jnp.asarray(a * 1e-22), jnp.asarray(a * 3e-22),
+                          jnp.asarray(m)))
+    assert c == pytest.approx(1.0, abs=1e-5)
+    # zero input -> guarded 0, not NaN
+    z = float(masked_corr(jnp.zeros_like(jnp.asarray(a)),
+                          jnp.asarray(a), jnp.asarray(m)))
+    assert z == 0.0
+
+
+# --- gw-merge guards ---------------------------------------------------------
+
+def test_merge_refuses_output_equals_input(tmp_path, rng):
+    import h5py
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.merge import (
+        merge,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.hdf5io import (
+        write_dataset,
+    )
+    p = tmp_path / "a.h5"
+    sig = [rng.normal(size=800).astype(np.float32) for _ in range(2)]
+    noise = [rng.normal(size=800).astype(np.float32) for _ in range(2)]
+    noisy = [s + x for s, x in zip(sig, noise)]
+    times = [np.arange(800) / 4096.0 for _ in range(2)]
+    meta = {k: [1.0, 1.0] for k in ("mass1", "mass2", "spin1z", "spin2z",
+                                    "q", "chirp_mass", "snr")}
+    write_dataset(str(p), sig, noise, noisy, times, meta, 4096.0)
+    with pytest.raises(ValueError, match="truncate"):
+        merge(str(p), [str(p), str(p)])
+    # source must be intact afterwards
+    with h5py.File(p) as f:
+        assert f["lengths"].shape[0] == 2
+
+
+# --- trainer: --no-data-parallel with --tp does not re-enable a data axis ---
+
+def test_no_data_parallel_with_tp_keeps_data_axis_1(tmp_path, capsys):
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data import (
+        pipeline as dpipe,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.training.train import (
+        TrainConfig,
+        train,
+    )
+    rng = np.random.default_rng(1)
+    clean = rng.normal(size=(16, 128)).astype(np.float32)
+    noisy = clean + rng.normal(size=(16, 128)).astype(np.float32)
+    train(TrainConfig(data="", model_dir=str(tmp_path / "m"), epochs=1,
+                      batch_size=8, base_ch=8, time_dim=16, depth=1, T=20,
+                      warmup_steps=2, bf16=False, seed=3,
+                      data_parallel=False, tp=2),
+          dataset=dpipe.dataset_from_arrays(list(noisy), list(clean),
+                                            fs=4096.0))
+    out = capsys.readouterr().out
+    # --no-data-parallel respected: the tp mesh gets NO data axis
+    assert "'data': 1" in out and "'model': 2" in out
