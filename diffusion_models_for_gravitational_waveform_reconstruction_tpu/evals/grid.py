@@ -30,7 +30,7 @@ import numpy as np
 
 from ..inference import dewhiten_back, reconstruct_batch
 from . import metrics as M
-from .sweep import Combo, _sampler_config
+from .sweep import Combo, _sampler_config, resolve_ladder
 
 
 # ---------------------------------------------------------------------------
@@ -52,6 +52,21 @@ def parse_sweep_best(sweep_dir: str) -> dict:
             if data:
                 out = dict(data[0]["combo"])
                 out["steps"] = int(data[0].get("steps", 200))
+                # carry the sampler/ladder the combo was scored under
+                for k in ("sampler", "ladder"):
+                    if data[0].get(k):
+                        out[k] = data[0][k]
+                # honour the validation gate: if it rejected the top combo
+                # (best_cmd.txt shipped defaults), replay the defaults here
+                # too instead of silently undoing the gate's decision
+                val = data[0].get("validation") or {}
+                if val.get("enabled") and not val.get("emit_top", True):
+                    out.update(val.get("default_combo") or {})
+                    if val.get("default_start_t") is not None:
+                        out["start_t"] = int(val["default_start_t"])
+                    print("[grid] sweep validation gate rejected the top "
+                          "combo; using reference-default knobs "
+                          "(as best_cmd.txt does)")
                 return out
     bc = os.path.join(sweep_dir, "best_cmd.txt")
     if os.path.exists(bc):
@@ -67,6 +82,9 @@ def parse_sweep_best(sweep_dir: str) -> dict:
             ("--cfg-center", "cfg_center", float),
             ("--cfg-width", "cfg_width", float),
             ("--dc-weight", "dc_weight", float),
+            ("--sampler", "sampler", str),
+            ("--ladder", "ladder", str),
+            ("--start-t", "start_t", int),
         ]:
             m = re.search(rf"{flag}\s+(\S+)", cmd)
             if m:
@@ -132,10 +150,7 @@ def eval_indices(
     use_selfcond = int(ck.get("in_ch", 3)) == (1 + int(ck.get("cond_in_ch", 1)) + 1)
     cfg = _sampler_config(combo, args.steps, schedule, ck, use_selfcond,
                           start_t_override=getattr(args, "start_t", None),
-                          ladder=getattr(args, "ladder", None)
-                          or ("lambda"
-                              if getattr(args, "sampler", "ddim") == "dpmpp"
-                              else "t"))
+                          ladder=resolve_ladder(args))
     # Stash the RESOLVED start_t for summary.json (its omission from the
     # recorded knobs made a start-t mismatch between two otherwise-identical
     # eval runs invisible — r3 debugging cost).
@@ -143,7 +158,8 @@ def eval_indices(
     if args.init_mode == "noise" and cfg.start_t < int(0.8 * schedule.T):
         import sys
         print(f"[grid] WARNING: init_mode=noise with resolved start_t="
-              f"{int(cfg.start_t)} (< 0.8*T={schedule.T}): pure-noise init "
+              f"{int(cfg.start_t)} < 0.8*T = {int(0.8 * schedule.T)}: pure-noise "
+              f"init "
               f"below the top of the chain is a domain mismatch and yields "
               f"near-zero correlation; pass --start-t {schedule.T - 1} "
               f"(or an --init-mode that uses y)", file=sys.stderr)
@@ -181,13 +197,17 @@ def eval_indices(
             c_w = a_al[lo:hi]
             r_w = b_al[lo:hi]
             mae = float(np.mean(np.abs(r_w - c_w)))
-            denom = (float(np.mean(np.abs(c_w))) + 1e-12
-                     if args.mae_norm == "clean" else p["sigma"] + 1e-12)
+            # zero-GUARDED denominator, no absolute eps: physical-strain
+            # scales (|clean| ~1e-22, sigma down to ~1e-22) are far below
+            # any absolute eps, which would reduce NMAE to a constant
+            # rescale of MAE (CLAUDE.md numerical-scale rule)
+            denom = (float(np.mean(np.abs(c_w)))
+                     if args.mae_norm == "clean" else float(p["sigma"]))
             row = {
                 "index": p["index"],
                 "corr": M.corr(r_w, c_w),
                 "mae": mae,
-                "mae_norm": mae / denom,
+                "mae_norm": mae / denom if denom > 0 else float("nan"),
                 "sigma": p["sigma"],
                 "L": p["L"],
             }

@@ -92,11 +92,10 @@ def align_xcorr(a: np.ndarray, b: np.ndarray, delta_t: float,
     return a_al, b_al, t
 
 
-def align_peak(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Peak-to-peak alignment (ref ``grid_infer.py:36-42``)."""
-    pa = int(np.argmax(np.abs(a)))
-    pb = int(np.argmax(np.abs(b)))
-    k = pb - pa
+def _shift_pair(a: np.ndarray, b: np.ndarray, k: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pair a[i] with b[i+k] and trim to the common support — the single
+    slicing convention shared by peak and xcorr alignment."""
     if k > 0:
         a_al, b_al = a[: len(a) - k], b[k:]
     elif k < 0:
@@ -105,6 +104,13 @@ def align_peak(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         a_al, b_al = a, b
     L = min(len(a_al), len(b_al))
     return a_al[:L], b_al[:L]
+
+
+def align_peak(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Peak-to-peak alignment (ref ``grid_infer.py:36-42``)."""
+    pa = int(np.argmax(np.abs(a)))
+    pb = int(np.argmax(np.abs(b)))
+    return _shift_pair(a, b, pb - pa)
 
 
 def apply_alignment(a: np.ndarray, b: np.ndarray, fs: float, mode: str = "none",
@@ -115,16 +121,8 @@ def apply_alignment(a: np.ndarray, b: np.ndarray, fs: float, mode: str = "none",
     if mode == "peak":
         return align_peak(a, b)
     max_shift = int(max(1, max_shift_s * fs))
-    k = best_lag_xcorr(a, b, max_shift)
     # best_lag convention: v(k) = sum a[i] b[i+k] -> pair a[i] with b[i+k]
-    if k > 0:
-        a_al, b_al = a[: len(a) - k], b[k:]
-    elif k < 0:
-        a_al, b_al = a[-k:], b[: len(b) + k]
-    else:
-        a_al, b_al = a, b
-    L = min(len(a_al), len(b_al))
-    return a_al[:L], b_al[:L]
+    return _shift_pair(a, b, best_lag_xcorr(a, b, max_shift))
 
 
 def window_indices(win: str, clean: np.ndarray, fs: float, tail_secs: float = 0.8,

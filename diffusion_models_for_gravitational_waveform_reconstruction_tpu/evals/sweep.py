@@ -220,6 +220,16 @@ def best_cmd(args, combo: dict, steps: int,
     )
 
 
+def resolve_ladder(args) -> str:
+    """Single source of truth for the ladder default: dpmpp REQUIRES the
+    λ-uniform ladder (``ops/sampling.py`` docs), everything else defaults to
+    the t-uniform ladder.  Every sweep/grid stage must resolve through here
+    so no stage silently evaluates with a different ladder."""
+    return (getattr(args, "ladder", None)
+            or ("lambda" if getattr(args, "sampler", "ddim") == "dpmpp"
+                else "t"))
+
+
 def default_combo() -> Combo:
     """Reference-default sampler knobs (ref ``inference.py:529-571``):
     cfg 1.5 const, eta 0, init from pure noise, no data consistency,
@@ -259,8 +269,7 @@ def validate_top(args, model, params, schedule, ck, top: dict, steps: int,
                              bool(args.whiten), args.whiten_mode,
                              args.sigma_mode, args.sigma_fixed)
     sampler = getattr(args, "sampler", "ddim")
-    ladder = (getattr(args, "ladder", None)
-              or ("lambda" if sampler == "dpmpp" else "t"))
+    ladder = resolve_ladder(args)
     key, k1, k2 = jax.random.split(key, 3)
     r_top = eval_combo(model, params, schedule, ck, preps_val,
                        Combo(**top["combo"]), steps, k1,
@@ -276,6 +285,10 @@ def validate_top(args, model, params, schedule, ck, top: dict, steps: int,
             'defaults out of sample)'}")
     return {"enabled": True, "emit_top": emit,
             "J_val_top": r_top["J"], "J_val_default": r_def["J"],
+            # the knobs the gate actually shipped when it rejected top —
+            # downstream --from-sweep parsers must honour the decision
+            "default_combo": default_combo().to_dict(),
+            "default_start_t": int(schedule.T - 1),
             "val_indices": [int(i) for i in val_indices]}
 
 
@@ -315,13 +328,16 @@ def run_grid(args, model, params, schedule, ck, preps, key) -> dict:
         key, k = jax.random.split(key)
         r = eval_combo(model, params, schedule, ck, preps, combo,
                        grid_steps, k, sampler=getattr(args, "sampler", "ddim"),
-                       ladder=getattr(args, "ladder", None)
-                       or ("lambda" if getattr(args, "sampler", "ddim") == "dpmpp"
-                           else "t"))
+                       ladder=resolve_ladder(args))
         results.append(r)
         print(f"[sweep] {n + 1}/{len(combos)} J={r['J']:.4f}  {combo.to_dict()}")
 
     results.sort(key=lambda r: -r["J"])
+    # record the sampler/ladder the combos were SCORED under, so
+    # --from-sweep replays don't silently switch algorithms
+    for r in results:
+        r["sampler"] = getattr(args, "sampler", "ddim")
+        r["ladder"] = resolve_ladder(args)
     _dump(args.outdir, "grid_results.json", results)
     top = results[0]
     key, k_val = jax.random.split(key)
@@ -342,9 +358,7 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
         r = eval_combo(model, params, schedule, ck, preps, combo,
                        args.steps_coarse, k,
                        sampler=getattr(args, "sampler", "ddim"),
-                       ladder=getattr(args, "ladder", None)
-                       or ("lambda" if getattr(args, "sampler", "ddim") == "dpmpp"
-                           else "t"))
+                       ladder=resolve_ladder(args))
         coarse.append(r)
         print(f"[sweep] coarse {n + 1}/{args.n_coarse} J={r['J']:.4f}")
 
@@ -363,9 +377,7 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
             rr = eval_combo(model, params, schedule, ck, preps, combo,
                             args.steps_refine, k,
                             sampler=getattr(args, "sampler", "ddim"),
-                       ladder=getattr(args, "ladder", None)
-                       or ("lambda" if getattr(args, "sampler", "ddim") == "dpmpp"
-                           else "t"))
+                            ladder=resolve_ladder(args))
             Js.append(rr["J"])
         finals.append({"combo": combo.to_dict(),
                        "J": float(np.mean(Js)),
@@ -376,6 +388,9 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
               f"(+-{finals[-1]['J_std']:.4f}) {combo.to_dict()}")
 
     finals.sort(key=lambda r: -r["J"])
+    for r in finals:
+        r["sampler"] = getattr(args, "sampler", "ddim")
+        r["ladder"] = resolve_ladder(args)
     top = finals[0]
     # persist refine results BEFORE the validation gate: the gate runs extra
     # reconstructions, and an error there must not lose the whole sweep

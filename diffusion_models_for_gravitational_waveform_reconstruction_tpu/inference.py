@@ -215,6 +215,15 @@ def prepare_measurement(
                 mode = "train"
         if mode == "model" and P_model is None:
             mode = "train"
+        if mode == "welch" and fw_in is not None and Pw_in is not None:
+            # a checkpoint trained with whiten_mode='welch' was whitened with
+            # the dataset's SAVED per-sample Welch PSD (pipeline._prep_sample)
+            # — use the same PSD here; estimating a fresh one from the
+            # signal-containing measurement would evaluate the model in a
+            # differently-whitened (self-contaminated) domain.  The fresh
+            # estimate below remains the fallback when none was saved
+            # (reference behaviour, ``inference.py:160-180``).
+            mode = "saved-welch"
         if mode == "model":
             x = clean_raw if clean_raw is not None else np.zeros_like(y_raw)
             y_c, clean_c, P_model_used = whiten_model_np(y_raw, x, P_model, fs,
@@ -401,9 +410,12 @@ def reconstruct(
     cond = jnp.asarray(prep["cond_stack"])
     clean_norm = (jnp.asarray(prep["clean_norm"])
                   if prep["clean_norm"] is not None else None)
+    # always cfg.x0_std_est (CLI --x0-std-est): the batch path
+    # (reconstruct_batch, used by sweep/grid) has no oracle access, so the
+    # single-sample path must not silently substitute the held-out clean's
+    # std — a sweep-selected scaled-noise combo would otherwise replay with
+    # a different x_T init distribution than it was scored with
     x0_std = cfg.x0_std_est
-    if prep["clean_for_cond"] is not None:
-        x0_std = float(np.std(prep["clean_for_cond"] / prep["sigma"]))
 
     S = max(1, int(avg_seeds))
     if S > 1:

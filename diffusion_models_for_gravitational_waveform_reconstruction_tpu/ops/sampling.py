@@ -122,6 +122,21 @@ def _make_uncond(cond_used: jnp.ndarray, drop_y_only: bool) -> jnp.ndarray:
     return jnp.zeros_like(cond_used)
 
 
+def _prepare_cond(cond_stack: jnp.ndarray, cfg: "SamplerConfig"):
+    """Shared conditioning preamble for every sampler entry point:
+    (y_chan, cond_used, cond_u) with ``cond_scale`` applied to the y channel
+    only (metadata channels pass through) and the CFG-unconditional stack
+    built per ``drop_y_only``.  Single-sourced so the conditioning
+    convention cannot drift between samplers."""
+    y_chan = cond_stack[:, :1, :]
+    y_used = cfg.cond_scale * y_chan
+    cond_used = (
+        jnp.concatenate([y_used, cond_stack[:, 1:, :]], axis=1)
+        if cond_stack.shape[1] > 1 else y_used
+    )
+    return y_chan, cond_used, _make_uncond(cond_used, cfg.drop_y_only)
+
+
 def _t_ladder(schedule: DiffusionSchedule, cfg: "SamplerConfig") -> np.ndarray:
     if cfg.ladder == "lambda":
         return build_lambda_t_schedule(schedule, cfg.steps, cfg.start_t)
@@ -203,7 +218,6 @@ def ddim_sample(
     analogue of the reference's per-step JSONL (``inference.py:491-512``).
     """
     B, _, L = cond_stack.shape
-    T = schedule.T
     dtype = cond_stack.dtype
 
     # ---- host-side (trace-time) schedule construction ----
@@ -227,13 +241,7 @@ def ddim_sample(
         "w": jnp.asarray(w_np, jnp.float32),
     }
 
-    y_chan = cond_stack[:, :1, :]
-    y_used = cfg.cond_scale * y_chan
-    cond_used = (
-        jnp.concatenate([y_used, cond_stack[:, 1:, :]], axis=1)
-        if cond_stack.shape[1] > 1 else y_used
-    )
-    cond_u = _make_uncond(cond_used, cfg.drop_y_only)
+    y_chan, cond_used, cond_u = _prepare_cond(cond_stack, cfg)
 
     ab_start = jnp.asarray(ab_t_np[0], dtype)
     x0_std = cfg.x0_std_est if x0_std_est is None else x0_std_est
@@ -323,14 +331,11 @@ def ddpm_sample(
     CFG/conditioning machinery with :func:`ddim_sample`.
     """
     B, _, L = cond_stack.shape
-    T = schedule.T
     dtype = cond_stack.dtype
 
     t_sched = _t_ladder(schedule, cfg)
     N = len(t_sched)
     ab_np = np.asarray(schedule.alpha_bar, np.float64).clip(1e-12, 1.0)
-    betas_np = np.asarray(schedule.betas, np.float64)
-    alphas_np = 1.0 - betas_np
     ab_t_np = ab_np[t_sched]
     ab_prev_np = np.concatenate([ab_np[t_sched[1:]], [1.0]])
     w_np = cfg_weight_schedule(N, cfg.cfg_mode, cfg.cfg_scale, cfg.cfg_center,
@@ -344,19 +349,12 @@ def ddpm_sample(
         "t": jnp.asarray(t_sched, jnp.int32),
         "ab_t": jnp.asarray(ab_t_np, jnp.float32),
         "ab_prev": jnp.asarray(ab_prev_np, jnp.float32),
-        "alpha_t": jnp.asarray(alphas_np[t_sched], jnp.float32),
         "cu": jnp.asarray(cu_np, jnp.float32),
         "cc": jnp.asarray(cc_np, jnp.float32),
         "last": jnp.asarray(is_last_np),
     }
 
-    y_chan = cond_stack[:, :1, :]
-    y_used = cfg.cond_scale * y_chan
-    cond_used = (
-        jnp.concatenate([y_used, cond_stack[:, 1:, :]], axis=1)
-        if cond_stack.shape[1] > 1 else y_used
-    )
-    cond_u = _make_uncond(cond_used, cfg.drop_y_only)
+    y_chan, cond_used, cond_u = _prepare_cond(cond_stack, cfg)
 
     ab_start = jnp.asarray(ab_t_np[0], dtype)
     k_init, k_loop = jax.random.split(key)
@@ -370,7 +368,7 @@ def ddpm_sample(
             x_t = jnp.clip(x_t, -cfg.clamp_inputs, cfg.clamp_inputs)
             x0_sc = jnp.clip(x0_sc, -cfg.clamp_inputs, cfg.clamp_inputs)
         t_b = jnp.full((B,), s["t"], jnp.int32)
-        ab_t, ab_prev, alpha_t = s["ab_t"], s["ab_prev"], s["alpha_t"]
+        ab_t, ab_prev = s["ab_t"], s["ab_prev"]
 
         out = _forward_out(model_fn, params, x_t, t_b, cond_used, cond_u,
                            x0_sc, cfg, need_uncond, s["cu"], s["cc"])
@@ -384,7 +382,7 @@ def ddpm_sample(
         x0_sc_next = x0_hat if cfg.use_selfcond else x0_sc
 
         # posterior mean/variance parameterised via x0_hat (valid for strided
-        # ladders too: q(x_s | x_t, x0) with s<t)
+        # ladders too: q(x_s | x_t, x0) with s<t; betas/alphas never enter)
         denom = jnp.clip(1.0 - ab_t, 1e-12)
         coef0 = jnp.sqrt(ab_prev) * (1.0 - ab_t / ab_prev) / denom
         coeft = jnp.sqrt(ab_t / ab_prev) * (1.0 - ab_prev) / denom
@@ -426,7 +424,6 @@ def dpmpp_sample(
     with :func:`ddim_sample`.  Deterministic: ``eta`` is ignored.
     """
     B, _, L = cond_stack.shape
-    T = schedule.T
     dtype = cond_stack.dtype
 
     t_sched = _t_ladder(schedule, cfg)
@@ -470,13 +467,7 @@ def dpmpp_sample(
         "cc": jnp.asarray(cc_np, jnp.float32),
     }
 
-    y_chan = cond_stack[:, :1, :]
-    y_used = cfg.cond_scale * y_chan
-    cond_used = (
-        jnp.concatenate([y_used, cond_stack[:, 1:, :]], axis=1)
-        if cond_stack.shape[1] > 1 else y_used
-    )
-    cond_u = _make_uncond(cond_used, cfg.drop_y_only)
+    y_chan, cond_used, cond_u = _prepare_cond(cond_stack, cfg)
 
     ab_start = jnp.asarray(ab_t_np[0], dtype)
     x0_std = cfg.x0_std_est if x0_std_est is None else x0_std_est
@@ -536,17 +527,11 @@ def one_step_proxy(
     x_t = jnp.sqrt(ab_t) * clean_norm + jnp.sqrt(1.0 - ab_t) * eps
     sc = jnp.zeros_like(x_t)
 
-    y_chan = cond_stack[:, :1, :]
-    y_used = cfg.cond_scale * y_chan
-    cond_used = (
-        jnp.concatenate([y_used, cond_stack[:, 1:, :]], axis=1)
-        if cond_stack.shape[1] > 1 else y_used
-    )
+    _y_chan, cond_used, cond_u = _prepare_cond(cond_stack, cfg)
 
     if cfg.cfg_scale != 1.0:
         # cond + uncond as ONE batched forward (2B) — same idiom as the
         # samplers, instead of two sequential B-sized calls
-        cond_u = _make_uncond(cond_used, cfg.drop_y_only)
         net2 = jnp.concatenate(
             [_net_in(x_t, cond_used, sc, cfg.use_selfcond),
              _net_in(x_t, cond_u, sc, cfg.use_selfcond)], axis=0)

@@ -142,3 +142,56 @@ def test_no_data_parallel_with_tp_keeps_data_axis_1(tmp_path, capsys):
     out = capsys.readouterr().out
     # --no-data-parallel respected: the tp mesh gets NO data axis
     assert "'data': 1" in out and "'model': 2" in out
+
+
+# --- parse_sweep_best: gate honouring + sampler/ladder transfer -------------
+
+def test_parse_sweep_best_honours_validation_gate(tmp_path):
+    import json
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.evals.grid import (
+        parse_sweep_best,
+    )
+    top_combo = {"start_snr": 6.0, "cfg_scale": 2.5, "init_mode": "noise",
+                 "dc_weight": 0.1, "eta": 0.2, "cfg_mode": "gauss",
+                 "cfg_center": 0.7, "cfg_width": 0.12}
+    default_combo = {"start_snr": 0.0, "cfg_scale": 1.5, "init_mode": "noise",
+                     "dc_weight": 0.0, "eta": 0.0, "cfg_mode": "const",
+                     "cfg_center": 0.7, "cfg_width": 0.12}
+    finals = [{
+        "combo": top_combo, "steps": 50, "J": 0.9,
+        "sampler": "dpmpp", "ladder": "lambda",
+        "validation": {"enabled": True, "emit_top": False,
+                       "J_val_top": 0.2, "J_val_default": 0.7,
+                       "default_combo": default_combo,
+                       "default_start_t": 999},
+    }]
+    (tmp_path / "final_results.json").write_text(json.dumps(finals))
+    knobs = parse_sweep_best(str(tmp_path))
+    # the gate rejected the top combo -> defaults + top-of-chain start
+    assert knobs["cfg_scale"] == 1.5 and knobs["eta"] == 0.0
+    assert knobs["start_t"] == 999
+    # the sampler/ladder the sweep scored under still transfer
+    assert knobs["sampler"] == "dpmpp" and knobs["ladder"] == "lambda"
+
+    # emit_top=True keeps the winning combo
+    finals[0]["validation"]["emit_top"] = True
+    (tmp_path / "final_results.json").write_text(json.dumps(finals))
+    knobs = parse_sweep_best(str(tmp_path))
+    assert knobs["cfg_scale"] == 2.5 and knobs["sampler"] == "dpmpp"
+
+
+def test_parse_sweep_best_cmd_fallback_sampler_ladder(tmp_path):
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.evals.grid import (
+        parse_sweep_best,
+    )
+    (tmp_path / "best_cmd.txt").write_text(
+        "gw-infer --input-h5 x.h5 --index 0 --model m.msgpack "
+        "--steps 50 --eta 0.0 --start-t 999 --init-mode noise "
+        "--cfg-scale 1.5 --cfg-mode const --cfg-center 0.7 --cfg-width 0.12 "
+        "--dc-weight 0 --whiten 1 --whiten-mode model --sigma-mode std "
+        "--sampler dpmpp --ladder lambda\n")
+    knobs = parse_sweep_best(str(tmp_path))
+    assert knobs["sampler"] == "dpmpp"
+    assert knobs["ladder"] == "lambda"
+    assert knobs["start_t"] == 999
