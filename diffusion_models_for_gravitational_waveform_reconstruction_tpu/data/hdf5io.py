@@ -143,10 +143,8 @@ def write_dataset(
         f.attrs["sampling_rate"] = float(sampling_rate)
         f.attrs["delta_t"] = 1.0 / float(sampling_rate)
         f.attrs["time_axis"] = "seconds-rel-peak"
-        f.attrs["psd_saved"] = bool(
-            (psd_model is not None and len(psd_model) > 0)
-            or (psd_welch is not None and len(psd_welch) > 0)
-        )
+        # mirror what was actually WRITTEN above (welch needs both arrays)
+        f.attrs["psd_saved"] = bool("psd_model" in f or "psd_welch" in f)
         f.attrs["psd_model_kind"] = psd_model_kind if psd_model is not None else ""
         if psd_params is not None:
             f.attrs["psd_source"] = str(psd_params.get("source", "both"))

@@ -380,12 +380,13 @@ def generate_batch(
     """vmapped batch generation — the TPU answer to the reference's serial
     per-sample Python loop (``gen.py:190-303``)."""
     B = m1.shape[0]
-    if spin1z is None:
-        spin1z = jnp.zeros(B)
-    if spin2z is None:
-        spin2z = jnp.zeros(B)
+    # broadcast_to accepts scalars and rank-0 arrays (a bare jnp.asarray of
+    # a scalar spin has no axis 0 for vmap)
+    spin1z = jnp.broadcast_to(
+        jnp.asarray(0.0 if spin1z is None else spin1z), (B,))
+    spin2z = jnp.broadcast_to(
+        jnp.asarray(0.0 if spin2z is None else spin2z), (B,))
     keys = jax.random.split(key, B)
     fn = lambda k, a, b, s, s1, s2: generate_sample(
         k, a, b, s, s1, s2, config=config)
-    return jax.vmap(fn)(keys, m1, m2, target_snr,
-                        jnp.asarray(spin1z), jnp.asarray(spin2z))
+    return jax.vmap(fn)(keys, m1, m2, target_snr, spin1z, spin2z)

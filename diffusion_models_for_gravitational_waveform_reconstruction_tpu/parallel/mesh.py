@@ -47,8 +47,12 @@ def make_mesh(
     devs = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devs) // n_model
+    assert n_data >= 1 and n_model >= 1, (
+        f"mesh {n_data}x{n_model} is empty — n_model={n_model} exceeds the "
+        f"{len(devs)} visible devices")
     assert n_data * n_model <= len(devs), (
-        f"mesh {n_data}x{n_model} needs more than {len(devs)} devices")
+        f"mesh {n_data}x{n_model} needs {n_data * n_model} devices but only "
+        f"{len(devs)} are visible")
     grid = np.asarray(devs[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names=("data", "model"))
 
@@ -90,7 +94,10 @@ def _tp_spec(mesh: Mesh, path, leaf, min_ch: int = 16) -> NamedSharding:
     names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
     if (n_model > 1 and leaf.ndim >= 1 and leaf.shape[-1] % n_model == 0
             and leaf.shape[-1] >= min_ch
-            and any(n.startswith(("enc", "dec", "mid")) for n in names)):
+            and any(n.startswith(("enc", "dec", "mid")) for n in names)
+            # norms stay replicated as documented: their scale/bias are tiny
+            # and sharding them only buys extra boundary collectives
+            and not any("norm" in n.lower() for n in names)):
         return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["model"])))
     return NamedSharding(mesh, P())
 

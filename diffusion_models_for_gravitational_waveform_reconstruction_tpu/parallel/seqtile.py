@@ -106,17 +106,28 @@ def tiled_apply(
         [jax.lax.dynamic_slice_in_dim(x_p, int(s), chunk + 2 * halo, axis=2)
          for s in starts], axis=0)                     # (n, B, C, W)
 
+    n_tiles_padded = n
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_data = mesh.shape.get("data", 1)
-        if n % n_data == 0:
-            tiles = jax.device_put(tiles, NamedSharding(mesh, P("data")))
+        if n % n_data != 0:
+            # pad the tile axis up to the mesh multiple with dummy tiles
+            # (cropped after the vmap) — silently skipping the device_put
+            # here would run EVERY tile's forward on one device, the exact
+            # activation-OOM this module exists to prevent
+            pad_t = (-n) % n_data
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad_t,) + tiles.shape[1:], tiles.dtype)],
+                axis=0)
+            n_tiles_padded = n + pad_t
+        tiles = jax.device_put(tiles, NamedSharding(mesh, P("data")))
 
     def fwd(tile):
         return model.apply(params, tile, t)            # (B, 1, W)
 
-    out_tiles = jax.vmap(fwd)(tiles)                   # (n, B, 1, W)
+    out_tiles = jax.vmap(fwd)(tiles)                   # (n_padded, B, 1, W)
+    out_tiles = out_tiles[:n]                          # drop dummy tiles
     out_tiles = out_tiles[:, :, :, halo:halo + chunk]  # crop halos
     # (n, B, 1, chunk) -> (B, 1, n*chunk), then drop the left tile padding
     out = jnp.moveaxis(out_tiles, 0, 2).reshape(B, 1, n * chunk)

@@ -83,10 +83,15 @@ def torch_state_dict_to_flax(sd: Dict[str, np.ndarray], depth: int) -> dict:
             bias=sd["cond_mid.bias"])
     put("final", kernel=_conv1d(sd["final.weight"]), bias=sd["final.bias"])
 
-    return {"params": {k: {kk: np.asarray(vv, np.float32)
-                           for kk, vv in v.items()} if not isinstance(
-                               next(iter(v.values())), dict) else v
-                       for k, v in p.items()}}
+    def _cast32(tree):
+        """Recursive float32 cast — nested enc/dec/mid subtrees must not
+        keep the source dtype (a f64/f16 .pth would yield a mixed-dtype
+        pytree and silently promote under apply)."""
+        if isinstance(tree, dict):
+            return {k: _cast32(v) for k, v in tree.items()}
+        return np.asarray(tree, np.float32)
+
+    return {"params": _cast32(p)}
 
 
 def load_torch_checkpoint_as_flax(pth_path: str, depth: int,

@@ -195,3 +195,96 @@ def test_parse_sweep_best_cmd_fallback_sampler_ladder(tmp_path):
     assert knobs["sampler"] == "dpmpp"
     assert knobs["ladder"] == "lambda"
     assert knobs["start_t"] == 999
+
+
+# --- third batch: models/parallel/synth/hdf5io -------------------------------
+
+def test_attention_heads_divide_channels():
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models import (
+        UNet1D,
+    )
+    # base_ch 28 -> bottleneck C=112; naive heads=3 does not divide 112
+    model = UNet1D(in_ch=3, base_ch=28, time_dim=16, depth=2,
+                   t_embed_max_time=19.0, cond_in_ch=1, use_selfcond=True,
+                   use_attention=True)
+    x = jnp.zeros((1, 3, 256))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+    out = model.apply(params, x, jnp.zeros((1,), jnp.int32))
+    assert out.shape == (1, 1, 256)
+
+
+def test_make_mesh_rejects_oversized_model_axis():
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    import jax
+    with pytest.raises(AssertionError, match="empty"):
+        make_mesh(n_model=2 * len(jax.devices()))
+
+
+def test_generate_batch_scalar_spins():
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.synth import (
+        SynthConfig,
+        generate_batch,
+    )
+    out = generate_batch(jax.random.PRNGKey(0), jnp.asarray([30.0, 40.0]),
+                         jnp.asarray([25.0, 35.0]), jnp.asarray([10.0, 10.0]),
+                         spin1z=0.5, spin2z=-0.25,
+                         config=SynthConfig(n=1024))
+    assert out["signal"].shape == (2, 1024)
+    assert np.isfinite(np.asarray(out["signal"])).all()
+
+
+def test_psd_saved_attr_mirrors_writes(tmp_path, rng):
+    import h5py
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data.hdf5io import (
+        write_dataset,
+    )
+    sig = [rng.normal(size=512).astype(np.float32)]
+    noise = [rng.normal(size=512).astype(np.float32)]
+    noisy = [sig[0] + noise[0]]
+    times = [np.arange(512) / 4096.0]
+    meta = {k: [1.0] for k in ("mass1", "mass2", "spin1z", "spin2z",
+                               "q", "chirp_mass", "snr")}
+    p = tmp_path / "x.h5"
+    # welch arrays WITHOUT freqs are not written -> psd_saved must be False
+    write_dataset(str(p), sig, noise, noisy, times, meta, 4096.0,
+                  psd_welch=[np.ones(257)], psd_welch_freqs=None)
+    with h5py.File(p) as f:
+        assert "psd_welch" not in f
+        assert not bool(f.attrs["psd_saved"])
+
+
+def test_tiled_apply_mesh_non_divisible_tiles():
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models import (
+        UNet1D,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.parallel.seqtile import (
+        tiled_apply,
+    )
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    model = UNet1D(in_ch=3, base_ch=8, time_dim=16, depth=2,
+                   t_embed_max_time=19.0, cond_in_ch=1, use_selfcond=True)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 5120))  # 5 tiles @1024
+    params = model.init(jax.random.PRNGKey(0), x[:, :, :1024],
+                        jnp.zeros((1,), jnp.int32))
+    t = jnp.zeros((1,), jnp.int32)
+    mesh = make_mesh()          # 8 devices; 5 % 8 != 0 -> padded tile axis
+    out = tiled_apply(model, params, x, t, chunk=1024, mesh=mesh)
+    ref = tiled_apply(model, params, x, t, chunk=1024)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
