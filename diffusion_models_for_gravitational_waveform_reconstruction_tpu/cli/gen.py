@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--engine", choices=["jax", "pycbc"], default="jax",
                    help="Waveform engine: batched on-device JAX chirps, or "
                         "host-side PyCBC SEOBNRv4 (requires pycbc installed).")
+    g.add_argument("--ringdown", choices=["qnm", "isco"], default="qnm",
+                   help="PN-engine post-inspiral model: 'qnm' = Kerr-remnant "
+                        "quasi-normal-mode ringdown (NR-fit final mass/spin); "
+                        "'isco' = legacy damped sinusoid at termination.")
     g.add_argument("--approximant", choices=["pn", "newtonian"], default="pn",
                    help="JAX-engine waveform model: 'pn' = 3.5PN aligned-"
                         "spin phasing with Kerr-ISCO termination (spins "
@@ -313,7 +317,8 @@ def generate_jax(specs: List[dict], args) -> Dict[int, dict]:
     out: Dict[int, dict] = {}
     for n, idxs in sorted(by_len.items()):
         cfg = SynthConfig(n=n, fs=fs, f_lower=args.f_lower,
-                          distance=args.distance, engine=approximant)
+                          distance=args.distance, engine=approximant,
+                          ringdown=getattr(args, "ringdown", "qnm"))
         print(f"[gen] bucket n={n} ({n / fs:.2f}s): {len(idxs)} samples")
         for c0 in range(0, len(idxs), args.chunk):
             chunk = idxs[c0:c0 + args.chunk]

@@ -122,6 +122,57 @@ def kerr_isco_f_gw(m1, m2, chi) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Remnant (final black hole) and quasi-normal-mode fits
+# ---------------------------------------------------------------------------
+
+def final_mass_spin(m1, m2, chi1, chi2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Remnant mass (seconds) and dimensionless spin of the merged hole.
+
+    Final spin: Barausse & Rezzolla 2009 (ApJ 704 L40) aligned-spin fit,
+        a_f = chi + s4 chi^2 nu + s5 chi nu^2 + t0 chi nu
+              + 2 sqrt(3) nu + t2 nu^2 + t3 nu^3,
+    with chi the mass-weighted aligned spin and (s4, s5, t0, t2, t3) =
+    (-0.1229, 0.4537, -2.8904, -3.5171, 2.5763).  Equal-mass nonspinning
+    gives a_f ~ 0.686, the standard numerical-relativity value.
+
+    Final mass: 1 - E_rad/M with the nonspinning radiated-energy fit of
+    Barausse, Morozova & Rezzolla 2012 (ApJ 758 63),
+        E_rad/M = 0.0559745 nu + 0.580951 nu^2
+                  - 0.960673 nu^3 + 3.35241 nu^4
+    (4.8% for equal masses).  The spin dependence of E_rad (a further
+    ~±2% of M at |chi|=0.8) is neglected — small against the restricted-
+    amplitude approximation used for the inspiral.
+    """
+    M_s, eta = mass_params(m1, m2)
+    chi = chi_eff(m1, m2, chi1, chi2)
+    s4, s5, t0, t2, t3 = -0.1229, 0.4537, -2.8904, -3.5171, 2.5763
+    a_f = (chi + s4 * chi * chi * eta + s5 * chi * eta * eta + t0 * chi * eta
+           + 2.0 * jnp.sqrt(3.0) * eta + t2 * eta * eta
+           + t3 * eta * eta * eta)
+    a_f = jnp.clip(a_f, -0.998, 0.998)
+    e_rad = eta * (0.0559745 + eta * (0.580951 + eta * (-0.960673
+                                                        + 3.35241 * eta)))
+    return M_s * (1.0 - e_rad), a_f
+
+
+def qnm_f_tau(m_f_s, a_f) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frequency (Hz) and damping time (s) of the l=m=2, n=0 Kerr QNM.
+
+    Berti, Cardoso & Will 2006 (PRD 73 064030, Table VIII) fits:
+        M_f omega_R = 1.5251 - 1.1568 (1 - a_f)^0.1292
+        Q           = 0.7000 + 1.4187 (1 - a_f)^-0.4990
+    with tau = 2 Q / omega_R = Q / (pi f).  Schwarzschild limit:
+    M omega ~ 0.368 (exact 0.3737, fit error ~1.4%), Q ~ 2.12.
+    """
+    one_m = jnp.maximum(1.0 - a_f, 1e-4)
+    omega = (1.5251 - 1.1568 * jnp.power(one_m, 0.1292)) / m_f_s
+    q = 0.7000 + 1.4187 * jnp.power(one_m, -0.4990)
+    f_rd = omega / (2.0 * jnp.pi)
+    tau_rd = 2.0 * q / omega
+    return f_rd, tau_rd
+
+
+# ---------------------------------------------------------------------------
 # 3.5PN phasing series and its SPA-derived tau / Phi
 # ---------------------------------------------------------------------------
 
@@ -264,7 +315,7 @@ def pn_duration(m1, m2, chi1, chi2, f_lower: float = 20.0):
     return tau_of_v(v_low, M_s, eta, beta, sigma)
 
 
-@partial(jax.jit, static_argnames=("n", "fs"))
+@partial(jax.jit, static_argnames=("n", "fs", "ringdown"))
 def pn_chirp(
     m1: jnp.ndarray,
     m2: jnp.ndarray,
@@ -281,14 +332,31 @@ def pn_chirp(
     fcross: float = 0.0,
     t_post: float = 0.05,
     ringdown_damp: float = 12.0,
+    ringdown: str = "qnm",
 ) -> jnp.ndarray:
     """Fixed-length detector-frame 3.5PN aligned-spin chirp.
 
     Drop-in counterpart of ``synth.newtonian_chirp`` with identical segment
     conventions: coalescence ``t_post`` seconds before the segment end,
-    half-Hann turn-on at the f_lower crossing, damped-sinusoid ringdown
-    matched in amplitude and phase at the (spin-dependent) termination.
-    Returns h (n,) float32.
+    half-Hann turn-on at the f_lower crossing, and a merger-ringdown
+    attachment matched in amplitude and phase at the (spin-dependent)
+    termination.  Returns h (n,) float32.
+
+    ``ringdown`` selects the post-inspiral model:
+
+    - ``"qnm"`` (default): physical Kerr remnant ringdown.  The final
+      mass/spin come from NR-calibrated fits (``final_mass_spin``) and the
+      fundamental l=m=2 quasi-normal mode sets the ringdown frequency and
+      damping time (``qnm_f_tau``).  The GW frequency blends exponentially
+      from the termination frequency up to f_QNM over a ~10 M_f merger
+      timescale (phase integrated in closed form, so phase and frequency
+      stay continuous), while the amplitude tracks (f/f_term)^(2/3) through
+      the blend — a brief merger bump — times the QNM exponential decay.
+      This is the TPU-native analogue of the calibrated merger-ringdown the
+      reference gets from SEOBNRv4 (ref ``gen.py:70-79``).
+    - ``"isco"``: legacy constant-frequency damped sinusoid at the
+      termination frequency with ad-hoc decay ``ringdown_damp`` e-folds per
+      angular cycle (round-3 behavior, kept for reproducibility).
     """
     dt = 1.0 / fs
     M_s, eta = mass_params(m1, m2)
@@ -321,15 +389,31 @@ def pn_chirp(
     hc = amp * ci * jnp.sin(phase)
     h_insp = fplus * hp + fcross * hc
 
-    # matched ringdown at the termination frequency
+    # merger-ringdown attachment, matched in amplitude and phase at v_term
     t_term = t_c - tau_term
     phase_term = phi_c + phase_of_v(v_term, M_s, eta, beta, sigma)
     amp_term = (4.0 / d_s) * jnp.power(mc_s, 5.0 / 3.0) * jnp.power(
         jnp.pi * f_term, 2.0 / 3.0)
-    tau_rd = ringdown_damp / (2.0 * jnp.pi * f_term)
     dt_rd = jnp.maximum(t - t_term, 0.0)
-    ph_rd = phase_term + 2.0 * jnp.pi * f_term * dt_rd
-    decay = amp_term * jnp.exp(-dt_rd / tau_rd)
+    if ringdown == "qnm":
+        m_f_s, a_f = final_mass_spin(m1, m2, chi1, chi2)
+        f_qnm, tau_rd = qnm_f_tau(m_f_s, a_f)
+        # QNM of a subsolar-band remnant can undershoot an extreme ISCO
+        # termination after clipping; keep the blend target above f_term so
+        # the frequency never runs backwards through the merger.
+        f_qnm = jnp.maximum(f_qnm, 1.05 * f_term)
+        tau_blend = 10.0 * m_f_s                 # ~10 M_f merger timescale
+        blend = jnp.exp(-dt_rd / tau_blend)
+        f_rd_t = f_qnm - (f_qnm - f_term) * blend
+        # closed-form integral of 2 pi f_rd_t dt -> continuous phase
+        ph_rd = phase_term + 2.0 * jnp.pi * (
+            f_qnm * dt_rd - (f_qnm - f_term) * tau_blend * (1.0 - blend))
+        decay = (amp_term * jnp.power(f_rd_t / f_term, 2.0 / 3.0)
+                 * jnp.exp(-dt_rd / tau_rd))
+    else:
+        tau_rd = ringdown_damp / (2.0 * jnp.pi * f_term)
+        ph_rd = phase_term + 2.0 * jnp.pi * f_term * dt_rd
+        decay = amp_term * jnp.exp(-dt_rd / tau_rd)
     h_rd = (fplus * decay * (1.0 + ci * ci) / 2.0 * jnp.cos(ph_rd)
             + fcross * decay * ci * jnp.sin(ph_rd))
 

@@ -310,6 +310,10 @@ class SynthConfig:
     # default — spins shape the waveform as in the reference's SEOBNRv4
     # path); "newtonian" = the legacy 0PN chirp (spin-degenerate).
     engine: str = "pn"
+    # post-inspiral model for the pn engine: "qnm" = Kerr-remnant
+    # quasi-normal-mode ringdown with NR-fit final mass/spin (pn.pn_chirp);
+    # "isco" = legacy constant-frequency damped sinusoid.
+    ringdown: str = "qnm"
 
 
 def generate_sample(
@@ -343,7 +347,7 @@ def generate_sample(
         from . import pn as _pn
         h = _pn.pn_chirp(
             m1, m2, spin1z, spin2z, n=c.n, fs=c.fs, distance=c.distance,
-            f_lower=c.f_lower, fplus=fp, fcross=fx,
+            f_lower=c.f_lower, fplus=fp, fcross=fx, ringdown=c.ringdown,
         )
     elif c.engine == "newtonian":
         h = newtonian_chirp(

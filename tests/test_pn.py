@@ -241,3 +241,93 @@ def test_generate_batch_passes_spins():
     num = float((s[0] * s[1]).sum())
     den = float(np.sqrt((s[0] ** 2).sum() * (s[1] ** 2).sum()))
     assert abs(num / den) < 0.5      # different spins -> different waveforms
+
+
+# ---------------------------------------------------------------------------
+# Kerr-remnant QNM merger-ringdown (round-3 upgrade)
+# ---------------------------------------------------------------------------
+
+def test_remnant_fit_anchor_values():
+    """Equal-mass nonspinning remnant: a_f ~ 0.686, E_rad ~ 4.8% — the
+    standard numerical-relativity anchors the Barausse-Rezzolla /
+    Barausse-Morozova-Rezzolla fits were calibrated to."""
+    m_f_s, a_f = pn.final_mass_spin(30.0, 30.0, 0.0, 0.0)
+    M_s = 60.0 * pn.MSUN_S
+    assert abs(float(a_f) - 0.686) < 0.02
+    assert abs((1.0 - float(m_f_s) / M_s) - 0.048) < 0.005
+    # aligned spin monotonicity: prograde spins spin the remnant up
+    _, a_hi = pn.final_mass_spin(30.0, 30.0, 0.8, 0.8)
+    _, a_lo = pn.final_mass_spin(30.0, 30.0, -0.8, -0.8)
+    assert float(a_lo) < float(a_f) < float(a_hi)
+    assert 0.0 < float(a_lo)          # retrograde 0.8 still ends prograde
+
+
+def test_qnm_fit_anchor_values():
+    """Berti-Cardoso-Will l=m=2 n=0 fit: Schwarzschild M*omega ~ 0.3737
+    (fit within 2%), Q ~ 2.12; frequency and damping time both grow with
+    remnant spin."""
+    f0, tau0 = pn.qnm_f_tau(jnp.asarray(1.0), jnp.asarray(0.0))
+    omega0 = 2.0 * np.pi * float(f0)
+    assert abs(omega0 - 0.3737) / 0.3737 < 0.02
+    q0 = omega0 * float(tau0) / 2.0
+    assert abs(q0 - 2.118) < 0.05
+    f9, tau9 = pn.qnm_f_tau(jnp.asarray(1.0), jnp.asarray(0.9))
+    assert float(f9) > float(f0)
+    assert float(tau9) > float(tau0)
+
+
+def test_qnm_ringdown_frequency_above_termination():
+    """The QNM ringdown of the remnant sits ABOVE the ISCO termination
+    frequency for ordinary parameters (the merger chirps UP, as in NR)."""
+    for c in (-0.5, 0.0, 0.5):
+        m_f_s, a_f = pn.final_mass_spin(M1, M2, c, c)
+        f_qnm, _ = pn.qnm_f_tau(m_f_s, a_f)
+        f_term = pn.kerr_isco_f_gw(M1, M2, pn.chi_eff(M1, M2, c, c))
+        assert float(f_qnm) > float(f_term)
+
+
+def test_qnm_attachment_continuity():
+    """Phase-continuous attachment: on an oversampled grid the waveform has
+    no sample-to-sample jump beyond what the instantaneous frequency allows
+    (a discontinuity at t_term would violate this by orders of magnitude)."""
+    fs = 16384
+    h = np.asarray(pn.pn_chirp(jnp.asarray(M1), jnp.asarray(M2),
+                               jnp.asarray(0.5), jnp.asarray(0.5),
+                               n=4 * fs, fs=fs), np.float64) * 1e21
+    m_f_s, a_f = pn.final_mass_spin(M1, M2, 0.5, 0.5)
+    f_qnm, _ = pn.qnm_f_tau(m_f_s, a_f)
+    bound = 2.0 * np.pi * float(f_qnm) / fs * np.abs(h).max() * 1.5
+    assert np.abs(np.diff(h)).max() < bound
+
+
+def test_qnm_vs_isco_ringdown_differ_only_post_merger():
+    """ringdown='isco' keeps the legacy waveform; the two modes agree
+    exactly through the inspiral and differ after termination."""
+    kw = dict(n=8192, fs=4096)
+    args = (jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(0.3),
+            jnp.asarray(0.3))
+    h_q = np.asarray(pn.pn_chirp(*args, ringdown="qnm", **kw), np.float64)
+    h_i = np.asarray(pn.pn_chirp(*args, ringdown="isco", **kw), np.float64)
+    d = np.abs(h_q - h_i)
+    assert d.max() > 0.0                       # post-merger genuinely differs
+    first_diff = int(np.argmax(d > 1e-12 * np.abs(h_i).max()))
+    # inspiral (everything before the last ~0.1 s) is bit-identical
+    assert first_diff > 8192 - int(0.1 * 4096) - 1
+    assert np.allclose(h_q[:first_diff], h_i[:first_diff])
+
+
+def test_generate_sample_qnm_config_plumbed():
+    """SynthConfig.ringdown reaches pn_chirp through generate_sample."""
+    key = jax.random.PRNGKey(0)
+    out_q = synth.generate_sample(
+        key, jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(20.0),
+        jnp.asarray(0.4), jnp.asarray(0.4),
+        config=synth.SynthConfig(n=8192, fs=4096, ringdown="qnm"))
+    out_i = synth.generate_sample(
+        key, jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(20.0),
+        jnp.asarray(0.4), jnp.asarray(0.4),
+        config=synth.SynthConfig(n=8192, fs=4096, ringdown="isco"))
+    sq = np.asarray(out_q["signal"], np.float64)
+    si = np.asarray(out_i["signal"], np.float64)
+    assert np.isfinite(sq).all() and np.isfinite(si).all()
+    assert np.abs(sq - si).max() > 0.0
