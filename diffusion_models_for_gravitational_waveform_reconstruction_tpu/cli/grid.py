@@ -29,7 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Sweep output dir; knobs read from its artifacts.")
 
     s = p.add_argument_group("Sampler knobs (override --from-sweep)")
-    s.add_argument("--steps", type=int, default=200)
+    s.add_argument("--steps", type=int, default=None,
+                   help="Default: checkpoint's distilled_steps if distilled, else 200.")
     s.add_argument("--sampler", choices=["ddim", "ddpm", "dpmpp"],
                    default="ddim")
     s.add_argument("--ladder", choices=["t", "lambda"], default=None,
@@ -51,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--start-t", type=int, default=None)
     s.add_argument("--init-mode", choices=["noise", "scaled-noise", "y-blend"],
                    default="noise")
-    s.add_argument("--cfg-scale", type=float, default=1.5)
+    s.add_argument("--cfg-scale", type=float, default=None,
+                   help="Default: 1.0 for distilled checkpoints (guidance folded in), else 1.5.")
     s.add_argument("--cfg-mode", choices=["const", "tophat", "gauss"],
                    default="const")
     s.add_argument("--cfg-center", type=float, default=0.70)
@@ -181,6 +183,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     args.model = model_paths[0]
     model, params, schedule, ck = load_model(args.model)
     _inherit_domain_flags(args, ck)
+    from ..inference import apply_distilled_defaults
+    apply_distilled_defaults(args, ck)
     extra_models = []
     for mp in model_paths[1:]:
         e_model, e_params, _e_sched, e_ck = load_model(mp)

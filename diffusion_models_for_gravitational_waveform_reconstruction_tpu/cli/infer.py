@@ -44,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sampler", choices=["ddim", "ddpm", "dpmpp"], default="ddim",
                    help="ddim (reference parity) | ddpm (ancestral) | "
                         "dpmpp (DPM-Solver++(2M), best quality at low steps)")
-    s.add_argument("--steps", type=int, default=200)
+    s.add_argument("--steps", type=int, default=None,
+                   help="Default: checkpoint's distilled_steps if distilled, else 200.")
     s.add_argument("--eta", type=float, default=0.0)
     s.add_argument("--start-t", type=int, default=None)
     s.add_argument("--start-snr", type=float, default=None)
@@ -56,7 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--eps-scale", type=float, default=1.0)
     s.add_argument("--pred-type", choices=["eps", "x0", "v"], default=None,
                    help="Default: inherited from the checkpoint.")
-    s.add_argument("--cfg-scale", type=float, default=1.5)
+    s.add_argument("--cfg-scale", type=float, default=None,
+                   help="Default: 1.0 for distilled checkpoints (guidance folded in), else 1.5.")
     s.add_argument("--cfg-mode", choices=["const", "tophat", "gauss"],
                    default="const")
     s.add_argument("--cfg-center", type=float, default=0.70)
@@ -127,6 +129,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     from ..inference import (
         dewhiten_back,
         load_model,
+        apply_distilled_defaults,
         make_run_tag,
         prepare_measurement,
         proxy_reconstruct,
@@ -151,6 +154,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         args.sigma_fixed = float(ck.get("sigma_fixed", 1.0))
     if args.pred_type is None:
         args.pred_type = str(ck.get("pred_type", "eps"))
+    apply_distilled_defaults(args, ck)
     meta_scale = ck.get("meta_scale", {}) or {}
     M_SCALE = float(meta_scale.get("M", 80.0))
     Q_SCALE = float(meta_scale.get("q", 10.0))
@@ -189,6 +193,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         cfg_u_only_thresh=args.cfg_u_only_thresh,
         drop_y_only=bool(ck.get("dropout_y_only", True)),
         oracle_init=args.oracle_init,
+        selfcond_mode=str(ck.get("selfcond_mode", "update")),
         ladder=args.ladder or ("lambda" if args.sampler == "dpmpp" else "t"))
 
     tag = args.run_tag or make_run_tag(

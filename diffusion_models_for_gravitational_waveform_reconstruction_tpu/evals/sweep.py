@@ -115,6 +115,9 @@ def _sampler_config(combo: Combo, steps: int, schedule, ck: dict,
         use_selfcond=use_selfcond,
         pred_type=str(ck.get("pred_type", "eps")),
         drop_y_only=bool(ck.get("dropout_y_only", True)),
+        # distilled students never saw a non-zero self-cond channel
+        # (training/distill.py records selfcond_mode='zero')
+        selfcond_mode=str(ck.get("selfcond_mode", "update")),
         ladder=ladder)
 
 

@@ -154,6 +154,34 @@ def meta_to_stack(meta: dict, L: int, cond_in_ch: int, M_SCALE: float,
 # Measurement prep: whitening resolution + sigma + cond stack
 # ---------------------------------------------------------------------------
 
+def apply_distilled_defaults(args, ck: dict) -> None:
+    """Resolve auto ('None') sampler knobs against a checkpoint's deployment
+    contract.
+
+    Distilled checkpoints (``training/distill.py``) are trained for a FIXED
+    (steps, ladder, folded-CFG, start_t) configuration recorded in their
+    args; running them at other knobs silently degrades quality.  Plain
+    checkpoints get the reference defaults (steps=200, cfg_scale=1.5,
+    ref ``inference.py:529-577``).  Mutates ``args`` in place; explicit CLI
+    values (non-None) always win.
+    """
+    dist = "distilled_steps" in ck
+    if getattr(args, "steps", None) is None:
+        args.steps = int(ck["distilled_steps"]) if dist else 200
+        if dist:
+            print(f"[infer] distilled checkpoint: steps={args.steps} "
+                  f"(ladder={ck.get('distilled_ladder')}, CFG folded)")
+    if getattr(args, "cfg_scale", None) is None:
+        # guidance is folded INTO a distilled student — re-applying CFG at
+        # sampling time would double-guide (and double model calls)
+        args.cfg_scale = 1.0 if dist else 1.5
+    if dist and getattr(args, "ladder", None) is None:
+        args.ladder = str(ck.get("distilled_ladder", "lambda"))
+    if (dist and getattr(args, "start_t", None) is None
+            and ck.get("distilled_start_t") is not None):
+        args.start_t = int(ck["distilled_start_t"])
+
+
 def sigma_fallbacks(ckpt_path: Optional[str]) -> Dict[str, float]:
     """Hardcoded per-domain fallbacks, overridable by a ``fallback_sigma.json``
     next to the checkpoint (ref ``inference.py:706-717``)."""

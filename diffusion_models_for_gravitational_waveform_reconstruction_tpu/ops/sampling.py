@@ -90,6 +90,12 @@ class SamplerConfig:
     # keeps multistep interval ratios bounded, essential for dpmpp at low
     # step counts on a cosine schedule)
     ladder: str = "t"
+    # self-conditioning channel policy when use_selfcond=True:
+    # "update" (reference behavior: feed the previous step's x0 estimate,
+    # ref inference.py:466-476) or "zero" (keep the channel but always feed
+    # zeros — the distillation-time convention, see training/distill.py;
+    # distilled students never saw a non-zero channel).
+    selfcond_mode: str = "update"
 
 
 def lagged_xcorr(a: jnp.ndarray, b: jnp.ndarray, max_shift: int):
@@ -269,7 +275,8 @@ def ddim_sample(
         if cfg.dc_weight > 0:
             x0_hat = (1.0 - cfg.dc_weight) * x0_hat + cfg.dc_weight * y_chan
 
-        x0_sc_next = x0_hat if cfg.use_selfcond else x0_sc
+        x0_sc_next = (x0_hat if (cfg.use_selfcond and
+                                 cfg.selfcond_mode != "zero") else x0_sc)
 
         # DDIM update; at the last step ab_prev==1 -> x_next == x0_hat exactly
         sigma_t = cfg.eta * jnp.sqrt(
@@ -379,7 +386,8 @@ def ddpm_sample(
 
         if cfg.dc_weight > 0:
             x0_hat = (1.0 - cfg.dc_weight) * x0_hat + cfg.dc_weight * y_chan
-        x0_sc_next = x0_hat if cfg.use_selfcond else x0_sc
+        x0_sc_next = (x0_hat if (cfg.use_selfcond and
+                                 cfg.selfcond_mode != "zero") else x0_sc)
 
         # posterior mean/variance parameterised via x0_hat (valid for strided
         # ladders too: q(x_s | x_t, x0) with s<t; betas/alphas never enter)
@@ -491,7 +499,8 @@ def dpmpp_sample(
             x0_hat = jnp.clip(x0_hat, -cfg.x0_clip, cfg.x0_clip)
         if cfg.dc_weight > 0:
             x0_hat = (1.0 - cfg.dc_weight) * x0_hat + cfg.dc_weight * y_chan
-        x0_sc_next = x0_hat if cfg.use_selfcond else x0_sc
+        x0_sc_next = (x0_hat if (cfg.use_selfcond and
+                                 cfg.selfcond_mode != "zero") else x0_sc)
 
         d = s["b_cur"] * x0_hat + s["b_old"] * x0_old
         x_next = s["c_x"] * x_t + s["c_d"] * d

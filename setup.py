@@ -18,6 +18,7 @@ setup(
             "gw-sweep=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.sweep:main",
             "gw-grid=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.grid:main",
             "gw-merge=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.merge:main",
+            "gw-distill=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.distill:main",
         ]
     },
 )
