@@ -69,7 +69,18 @@ def merge(out_path: str, in_paths: list) -> int:
                     n = f[k].shape[0]
                     for lo in range(0, n, CHUNK):
                         hi = min(lo + CHUNK, n)
-                        d[off + lo:off + hi] = f[k][lo:hi]
+                        chunk = f[k][lo:hi]
+                        try:
+                            d[off + lo:off + hi] = chunk
+                        except TypeError:
+                            # h5py collapses an object chunk whose rows all
+                            # have EQUAL length into a 2-D array and then
+                            # fails to broadcast it onto the vlen dataset
+                            # (e.g. psd_welch: fixed nperseg -> every row
+                            # 2049 bins).  Ragged chunks are unaffected, so
+                            # fall back to per-row writes only here.
+                            for i in range(hi - lo):
+                                d[off + lo + i] = chunk[i]
                     off += n
             for a, v in ins[0].attrs.items():
                 out.attrs[a] = v

@@ -76,3 +76,24 @@ def test_gw_merge_cli(tmp_path, rng, capsys):
     assert "wrote 5 samples" in capsys.readouterr().out
     with h5py.File(out, "r") as f:
         assert f["lengths"].shape[0] == 5
+
+
+def test_merge_equal_length_vlen_rows(tmp_path, rng):
+    """Equal-length vlen rows (e.g. psd_welch: fixed nperseg -> every row
+    2049 bins) collapse to a 2-D array inside h5py's chunked assignment and
+    used to crash the merge with 'Can't broadcast (N, L) -> (N,)'."""
+    p1, p2, out = tmp_path / "a.h5", tmp_path / "b.h5", tmp_path / "m.h5"
+    _make(p1, rng, 4)
+    _make(p2, rng, 3)
+    for p, n in ((p1, 4), (p2, 3)):
+        with h5py.File(p, "a") as f:
+            dt = h5py.special_dtype(vlen=np.dtype("float64"))
+            d = f.create_dataset("psd_welch", shape=(n,), dtype=dt)
+            for i in range(n):  # every row the SAME length
+                d[i] = np.full(33, float(i), np.float64)
+    merge_main(str(out), [str(p1), str(p2)])
+    with h5py.File(out, "r") as f:
+        assert f["psd_welch"].shape[0] == 7
+        assert np.array_equal(f["psd_welch"][3], np.full(33, 3.0))
+        assert np.array_equal(f["psd_welch"][4], np.full(33, 0.0))
+        assert all(len(f["psd_welch"][i]) == 33 for i in range(7))
