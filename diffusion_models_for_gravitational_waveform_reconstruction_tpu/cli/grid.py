@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'mf': least-squares matched-filter amplitude "
                         "rescaling of each whitened recon against its "
                         "measurement.")
+    s.add_argument("--refine-passes", type=int, default=0,
+                   help="Iterative refinement: re-noise each recon to "
+                        "--refine-t and re-run the sampler, N times. 0=off.")
+    s.add_argument("--refine-t", type=int, default=300)
+    s.add_argument("--refine-steps", type=int, default=0,
+                   help="Steps per refinement pass (0 = steps // 2).")
     s.add_argument("--eta", type=float, default=0.0)
     s.add_argument("--start-snr", type=float, default=8.0,
                    help="Reference-parity default TRUNCATES the trajectory "

@@ -87,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "squares matched-filter amplitude against the "
                         "measurement (fixes the shape-right/amplitude-low "
                         "failure mode of v-pred models).")
+    s.add_argument("--refine-passes", type=int, default=0,
+                   help="Iterative refinement: after the base pass, re-noise "
+                        "the recon to --refine-t (forward q_sample) and "
+                        "re-run the sampler over [refine_t..0], this many "
+                        "times (SDEdit-style resampling). 0 = off.")
+    s.add_argument("--refine-t", type=int, default=300)
+    s.add_argument("--refine-steps", type=int, default=0,
+                   help="Steps per refinement pass (0 = --steps // 2).")
 
     d = p.add_argument_group("Domain (default: inherited from the checkpoint "
                              "args so inference matches training)")
@@ -194,7 +202,9 @@ def main(argv: Optional[List[str]] = None) -> None:
         drop_y_only=bool(ck.get("dropout_y_only", True)),
         oracle_init=args.oracle_init,
         selfcond_mode=str(ck.get("selfcond_mode", "update")),
-        ladder=args.ladder or ("lambda" if args.sampler == "dpmpp" else "t"))
+        ladder=args.ladder or ("lambda" if args.sampler == "dpmpp" else "t"),
+        refine_passes=args.refine_passes, refine_t=args.refine_t,
+        refine_steps=args.refine_steps)
 
     tag = args.run_tag or make_run_tag(
         args.sampler, cfg, schedule, bool(args.whiten), args.whiten_mode,

@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="ddim")
     r.add_argument("--ladder", choices=["t", "lambda"], default=None,
                    help="Default: 'lambda' for --sampler dpmpp, else 't'.")
+    r.add_argument("--refine-passes", type=int, default=0,
+                   help="Iterative refinement passes applied to every combo "
+                        "evaluation (fixed, not swept). 0 = off.")
+    r.add_argument("--refine-t", type=int, default=300)
+    r.add_argument("--refine-steps", type=int, default=0,
+                   help="Steps per refinement pass (0 = steps // 2).")
     r.add_argument("--steps-coarse", type=int, default=100)
     r.add_argument("--steps-refine", type=int, default=200)
     r.add_argument("--seeds-refine", type=int, default=3)

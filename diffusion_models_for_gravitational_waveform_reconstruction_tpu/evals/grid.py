@@ -30,7 +30,7 @@ import numpy as np
 
 from ..inference import dewhiten_back, reconstruct_batch
 from . import metrics as M
-from .sweep import Combo, _sampler_config, resolve_ladder
+from .sweep import Combo, _sampler_config, refine_from_args, resolve_ladder
 
 
 # ---------------------------------------------------------------------------
@@ -150,7 +150,8 @@ def eval_indices(
     use_selfcond = int(ck.get("in_ch", 3)) == (1 + int(ck.get("cond_in_ch", 1)) + 1)
     cfg = _sampler_config(combo, args.steps, schedule, ck, use_selfcond,
                           start_t_override=getattr(args, "start_t", None),
-                          ladder=resolve_ladder(args))
+                          ladder=resolve_ladder(args),
+                          refine=refine_from_args(args))
     # Stash the RESOLVED start_t for summary.json (its omission from the
     # recorded knobs made a start-t mismatch between two otherwise-identical
     # eval runs invisible — r3 debugging cost).
@@ -274,7 +275,8 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
                   ["steps", "eta", "start_snr", "start_t", "init_mode",
                    "cfg_scale", "cfg_mode", "cfg_center", "cfg_width",
                    "dc_weight", "win", "align", "mae_norm", "amp_calib",
-                   "avg_seeds", "sampler", "ladder", "seed"]},
+                   "avg_seeds", "sampler", "ladder", "seed",
+                   "refine_passes", "refine_t", "refine_steps"]},
         "start_t_resolved": getattr(args, "_start_t_resolved", None),
     }
     with open(os.path.join(args.outdir, "summary.json"), "w") as fh:

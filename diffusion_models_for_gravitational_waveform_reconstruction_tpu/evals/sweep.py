@@ -93,7 +93,8 @@ def prep_samples(
 def _sampler_config(combo: Combo, steps: int, schedule, ck: dict,
                     use_selfcond: bool,
                     start_t_override: int | None = None,
-                    ladder: str = "t") -> SamplerConfig:
+                    ladder: str = "t",
+                    refine: tuple = (0, 300, 0)) -> SamplerConfig:
     """Sampler config for one combo, inheriting checkpoint-domain knobs.
 
     ``pred_type`` MUST come from the checkpoint (same contract as gw-infer):
@@ -118,8 +119,17 @@ def _sampler_config(combo: Combo, steps: int, schedule, ck: dict,
         # distilled students never saw a non-zero self-cond channel
         # (training/distill.py records selfcond_mode='zero')
         selfcond_mode=str(ck.get("selfcond_mode", "update")),
-        ladder=ladder)
+        ladder=ladder,
+        refine_passes=int(refine[0]), refine_t=int(refine[1]),
+        refine_steps=int(refine[2]))
 
+
+
+def refine_from_args(args) -> tuple:
+    """(refine_passes, refine_t, refine_steps) from CLI args (0,300,0 = off)."""
+    return (int(getattr(args, "refine_passes", 0) or 0),
+            int(getattr(args, "refine_t", 300) or 300),
+            int(getattr(args, "refine_steps", 0) or 0))
 
 def eval_combo(
     model, params, schedule, ck: dict,
@@ -130,6 +140,7 @@ def eval_combo(
     sampler: str = "ddim",
     ladder: str = "t",
     start_t_override: int | None = None,
+    refine: tuple = (0, 300, 0),
 ) -> dict:
     """Evaluate one combo on all prepared samples (batched per length group).
 
@@ -137,7 +148,8 @@ def eval_combo(
     """
     use_selfcond = int(ck.get("in_ch", 3)) == (1 + int(ck.get("cond_in_ch", 1)) + 1)
     cfg = _sampler_config(combo, steps, schedule, ck, use_selfcond,
-                          ladder=ladder, start_t_override=start_t_override)
+                          ladder=ladder, start_t_override=start_t_override,
+                          refine=refine)
 
     by_len: Dict[int, List[int]] = {}
     for i, p in enumerate(preps):
@@ -220,6 +232,10 @@ def best_cmd(args, combo: dict, steps: int,
         + (f" --sampler {args.sampler}"
            if getattr(args, "sampler", "ddim") != "ddim" else "")
         + (f" --ladder {args.ladder}" if getattr(args, "ladder", None) else "")
+        + (f" --refine-passes {refine_from_args(args)[0]}"
+           f" --refine-t {refine_from_args(args)[1]}"
+           f" --refine-steps {refine_from_args(args)[2]}"
+           if refine_from_args(args)[0] > 0 else "")
     )
 
 
@@ -276,11 +292,13 @@ def validate_top(args, model, params, schedule, ck, top: dict, steps: int,
     key, k1, k2 = jax.random.split(key, 3)
     r_top = eval_combo(model, params, schedule, ck, preps_val,
                        Combo(**top["combo"]), steps, k1,
-                       sampler=sampler, ladder=ladder)
+                       sampler=sampler, ladder=ladder,
+                       refine=refine_from_args(args))
     r_def = eval_combo(model, params, schedule, ck, preps_val,
                        default_combo(), steps, k2,
                        sampler=sampler, ladder=ladder,
-                       start_t_override=schedule.T - 1)
+                       start_t_override=schedule.T - 1,
+                       refine=refine_from_args(args))
     emit = bool(r_top["J"] >= r_def["J"])
     print(f"[sweep] validation ({len(val_indices)} held-out samples): "
           f"J_top={r_top['J']:.4f} vs J_default={r_def['J']:.4f} -> "
@@ -331,7 +349,8 @@ def run_grid(args, model, params, schedule, ck, preps, key) -> dict:
         key, k = jax.random.split(key)
         r = eval_combo(model, params, schedule, ck, preps, combo,
                        grid_steps, k, sampler=getattr(args, "sampler", "ddim"),
-                       ladder=resolve_ladder(args))
+                       ladder=resolve_ladder(args),
+                       refine=refine_from_args(args))
         results.append(r)
         print(f"[sweep] {n + 1}/{len(combos)} J={r['J']:.4f}  {combo.to_dict()}")
 
@@ -361,7 +380,8 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
         r = eval_combo(model, params, schedule, ck, preps, combo,
                        args.steps_coarse, k,
                        sampler=getattr(args, "sampler", "ddim"),
-                       ladder=resolve_ladder(args))
+                       ladder=resolve_ladder(args),
+                       refine=refine_from_args(args))
         coarse.append(r)
         print(f"[sweep] coarse {n + 1}/{args.n_coarse} J={r['J']:.4f}")
 
@@ -380,7 +400,8 @@ def run_random(args, model, params, schedule, ck, preps, key) -> dict:
             rr = eval_combo(model, params, schedule, ck, preps, combo,
                             args.steps_refine, k,
                             sampler=getattr(args, "sampler", "ddim"),
-                            ladder=resolve_ladder(args))
+                            ladder=resolve_ladder(args),
+                            refine=refine_from_args(args))
             Js.append(rr["J"])
         finals.append({"combo": combo.to_dict(),
                        "J": float(np.mean(Js)),

@@ -36,7 +36,8 @@ from .data.pipeline import (
 )
 from .models.unet import UNet1D
 from .ops.sampling import (SamplerConfig, ddim_sample, ddpm_sample,
-                           dpmpp_sample, one_step_proxy)
+                           dpmpp_sample, one_step_proxy, refine_only,
+                           sample_with_refinement)
 from .ops.schedules import (
     make_schedule,
     snr_from_alpha_bar,
@@ -451,18 +452,25 @@ def reconstruct(
         if clean_norm is not None:
             clean_norm = jnp.tile(clean_norm, (S, 1, 1))
 
-    if sampler == "ddim":
-        out = ddim_sample(model_fn, params, schedule, cond, key, cfg,
-                          clean_norm=clean_norm, x0_std_est=x0_std,
-                          collect_diagnostics=collect_diagnostics)
-        x0_norm, diag = out if collect_diagnostics else (out, None)
-    elif sampler == "dpmpp":
-        x0_norm = dpmpp_sample(model_fn, params, schedule, cond, key, cfg,
-                               clean_norm=clean_norm, x0_std_est=x0_std)
-        diag = None
+    if sampler == "ddim" and collect_diagnostics:
+        # diagnostics cover the BASE pass; refinement passes (if any) run
+        # after, with the same key-split convention as
+        # sample_with_refinement so recon is identical with/without diag
+        k_base, k_ref = (jax.random.split(key) if cfg.refine_passes > 0
+                         else (key, key))
+        x0_norm, diag = ddim_sample(model_fn, params, schedule, cond, k_base,
+                                    cfg, clean_norm=clean_norm,
+                                    x0_std_est=x0_std,
+                                    collect_diagnostics=True)
+        x0_norm = refine_only(ddim_sample, model_fn, params, schedule, cond,
+                              k_ref, cfg, x0_norm, x0_std_est=x0_std)
     else:
-        x0_norm = ddpm_sample(model_fn, params, schedule, cond, key, cfg,
-                              clean_norm=clean_norm)
+        sample_fn = {"ddim": ddim_sample, "ddpm": ddpm_sample,
+                     "dpmpp": dpmpp_sample}[sampler]
+        x0_norm = sample_with_refinement(sample_fn, model_fn, params,
+                                         schedule, cond, key, cfg,
+                                         clean_norm=clean_norm,
+                                         x0_std_est=x0_std)
         diag = None
 
     seeds_white = None
@@ -542,8 +550,9 @@ def reconstruct_batch(
             from .parallel import mesh as pmesh
 
             p_i = pmesh.replicate_tree(p_i, mesh)
-        out = sample_fn(lambda p, x, t, _m=m_i: _m.apply(p, x, t),
-                        p_i, schedule, cond, key, cfg, clean_norm=cn)
+        out = sample_with_refinement(
+            sample_fn, lambda p, x, t, _m=m_i: _m.apply(p, x, t),
+            p_i, schedule, cond, key, cfg, clean_norm=cn)
         x0_norm = out if x0_norm is None else x0_norm + out
     x0_norm = x0_norm / len(pairs)
     if S > 1:

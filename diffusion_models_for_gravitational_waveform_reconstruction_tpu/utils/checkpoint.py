@@ -90,6 +90,73 @@ def restore_params(template, state_dict) -> Any:
     return serialization.from_state_dict(template, state_dict)
 
 
+_ARCH_KEYS = ("base_ch", "in_ch", "cond_in_ch", "T", "schedule", "pred_type",
+              "use_attention", "selfcond_mode")
+
+
+def _weighted_mean_tree(trees, weights):
+    """Leaf-wise weighted mean over structurally identical nested dicts.
+
+    Accumulates in float64, casts back to the first tree's leaf dtype."""
+    import jax
+
+    tdefs = {jax.tree_util.tree_structure(t) for t in trees}
+    if len(tdefs) != 1:
+        raise ValueError("checkpoints have different parameter structures")
+    w = np.asarray(weights, np.float64)
+    w = w / w.sum()
+
+    def avg(*leaves):
+        shapes = {np.shape(l) for l in leaves}
+        if len(shapes) != 1:
+            raise ValueError(f"leaf shape mismatch across members: {shapes}")
+        acc = sum(wi * np.asarray(l, np.float64) for wi, l in zip(w, leaves))
+        return acc.astype(np.asarray(leaves[0]).dtype)
+
+    return jax.tree_util.tree_map(avg, *trees)
+
+
+def average_checkpoints(paths, weights=None) -> Dict[str, Any]:
+    """Uniform/weighted parameter averaging across checkpoints (model soup,
+    Wortsman et al. 2022 — extension; no reference counterpart).
+
+    Averages ``model_state`` and, when ALL members carry one,
+    ``model_ema_state``.  Members must share the architecture contract
+    (validated on the load-bearing args keys) and the exact parameter tree.
+    Returns a payload dict shaped like :func:`load_checkpoint` output, with
+    ``args`` taken from the first member plus ``soup_members``/``soup_weights``
+    provenance; epoch is the max member epoch.
+    """
+    if len(paths) < 2:
+        raise ValueError("need at least 2 checkpoints to average")
+    if weights is None:
+        weights = [1.0] * len(paths)
+    if len(weights) != len(paths):
+        raise ValueError("len(weights) != len(paths)")
+    cks = [load_checkpoint(p) for p in paths]
+    a0 = cks[0]["args"]
+    for p, ck in zip(paths[1:], cks[1:]):
+        for k in _ARCH_KEYS:
+            if ck["args"].get(k) != a0.get(k):
+                raise ValueError(
+                    f"{p}: args[{k!r}]={ck['args'].get(k)!r} differs from "
+                    f"{paths[0]}: {a0.get(k)!r} — cannot average across "
+                    f"architectures/domains")
+    out: Dict[str, Any] = {
+        "model_state": _weighted_mean_tree(
+            [ck["model_state"] for ck in cks], weights),
+        "epoch": max(int(ck.get("epoch", 0)) for ck in cks),
+    }
+    if all("model_ema_state" in ck for ck in cks):
+        out["model_ema_state"] = _weighted_mean_tree(
+            [ck["model_ema_state"] for ck in cks], weights)
+    args = dict(a0)
+    args["soup_members"] = [os.path.basename(p) for p in paths]
+    args["soup_weights"] = [float(w) for w in weights]
+    out["args"] = args
+    return out
+
+
 def select_weights(ckpt: Dict[str, Any], use_ema: bool = True):
     """EMA-preferred weight selection (ref ``train.py:258-262``,
     ``inference.py:641-650``)."""

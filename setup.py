@@ -19,6 +19,7 @@ setup(
             "gw-grid=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.grid:main",
             "gw-merge=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.merge:main",
             "gw-distill=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.distill:main",
+            "gw-soup=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.soup:main",
         ]
     },
 )
