@@ -391,6 +391,8 @@ def make_run_tag(mode: str, cfg: SamplerConfig, schedule, whiten: bool,
            f"_pred-{cfg.pred_type}_dc{cfg.dc_weight}_cond{cfg.cond_scale}"
            f"_eps{cfg.eps_scale}_{'white' if whiten else 'raw'}"
            f"_{whiten_mode}_{sigma_mode}")
+    if cfg.refine_passes > 0:
+        tag += f"_ref{cfg.refine_passes}x{cfg.refine_t}"
     return tag.replace(".", "p")
 
 
