@@ -442,7 +442,7 @@ def test_sweep_validation_gate_rejects_losing_combo(workdir, dataset,
     # stub scorer: the overfit "top" combo scores 0 out of sample, the
     # reference-default knobs score 1
     def fake_eval(model, params, schedule, ck, preps, combo, steps, key,
-                  sampler="ddim", ladder="t", start_t_override=None):
+                  sampler="ddim", ladder="t", start_t_override=None, **kw):
         is_default = combo.cfg_scale == 1.5 and combo.init_mode == "noise" \
             and start_t_override is not None
         return {"combo": combo.to_dict(), "steps": steps,
@@ -466,7 +466,7 @@ def test_sweep_validation_gate_rejects_losing_combo(workdir, dataset,
 
     # and a WINNING combo is emitted unchanged
     def fake_eval_win(model, params, schedule, ck, preps, combo, steps, key,
-                      sampler="ddim", ladder="t", start_t_override=None):
+                      sampler="ddim", ladder="t", start_t_override=None, **kw):
         return {"combo": combo.to_dict(), "steps": steps,
                 "J": 0.2 if start_t_override is not None else 0.9,
                 "J_std": 0.0, "per_sample": []}
