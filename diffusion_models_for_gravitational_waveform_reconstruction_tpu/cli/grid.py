@@ -169,6 +169,11 @@ def main(argv: Optional[List[str]] = None) -> None:
         else:
             m1 = np.asarray(f["mass1"][:], np.float64)
             m2 = np.asarray(f["mass2"][:], np.float64)
+        # injected SNR (gw-gen datasets carry it): enables the SNR-stratified
+        # quality breakdown (extension; the reference bins by mass only,
+        # grid_infer.py:492-559)
+        snr = (np.asarray(f["snr"][:], np.float64)
+               if "snr" in f else None)
 
     cells = select_per_cell(m1, m2, args.per_cell, args.min_per_cell, rng,
                             args.unordered)
@@ -228,11 +233,13 @@ def main(argv: Optional[List[str]] = None) -> None:
             "samples without one). A mass-grid evaluation needs a dataset "
             "written with clean signals (gw-gen stores them by default).")
 
-    labels = {int(i): {"m1": float(m1[i]), "m2": float(m2[i])} for i in indices}
+    labels = {int(i): {"m1": float(m1[i]), "m2": float(m2[i]),
+                       **({"snr": float(snr[i])} if snr is not None else {})}
+              for i in indices}
     if args.unordered:
         for i in labels:
             a, b = labels[i]["m1"], labels[i]["m2"]
-            labels[i] = {"m1": max(a, b), "m2": min(a, b)}
+            labels[i].update(m1=max(a, b), m2=min(a, b))
     summary = aggregate_and_plot(args, rows, labels)
     print(f"[grid] summary: corr_macro={summary['corr_macro_mean']:.4f} "
           f"mae_macro={summary['mae_macro_mean']:.4f}")

@@ -232,6 +232,9 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
     df = pd.DataFrame(rows)
     df["m1"] = [labels[i]["m1"] for i in df["index"]]
     df["m2"] = [labels[i]["m2"] for i in df["index"]]
+    has_snr = all("snr" in labels[i] for i in df["index"])
+    if has_snr:
+        df["snr"] = [labels[i]["snr"] for i in df["index"]]
     df.to_csv(os.path.join(args.outdir, "per_index_metrics.csv"), index=False)
 
     agg_cols = dict(
@@ -279,6 +282,31 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
                    "refine_passes", "refine_t", "refine_steps"]},
         "start_t_resolved": getattr(args, "_start_t_resolved", None),
     }
+    if has_snr and df["snr"].nunique() >= 3:
+        # SNR-stratified breakdown (extension; no reference counterpart —
+        # grid_infer.py aggregates by mass cell only).  Motivation: measured
+        # residual error is dominated by the low-SNR tail (corr vs injected
+        # SNR r≈0.7 at equal train/eval SNR distributions, RESULTS.md
+        # "Error anatomy"), which mass-cell macro averages hide.  Terciles
+        # of the evaluated rows keep bins populated for any eval set.
+        edges = np.quantile(df["snr"].values, [0.0, 1 / 3, 2 / 3, 1.0])
+        bins = np.clip(np.searchsorted(edges[1:-1], df["snr"].values,
+                                       side="right"), 0, 2)
+        by_snr = []
+        for b in range(3):
+            sel = df[bins == b]
+            if len(sel) == 0:
+                continue
+            ent = {
+                "snr_lo": float(edges[b]), "snr_hi": float(edges[b + 1]),
+                "n": int(len(sel)),
+                "corr_mean": float(sel["corr"].mean()),
+                "mae_norm_mean": float(sel["mae_norm"].mean()),
+            }
+            if "mf_ratio" in sel.columns:
+                ent["mf_ratio_mean"] = float(sel["mf_ratio"].mean())
+            by_snr.append(ent)
+        summary["by_snr"] = by_snr
     with open(os.path.join(args.outdir, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
     return summary

@@ -107,6 +107,16 @@ def test_sweep_and_grid_handoff(workdir, dataset, checkpoint):
     # knobs flowed from the sweep artifacts
     assert s["knobs"]["cfg_scale"] == 1.0
     assert np.isfinite(s["corr_macro_mean"])
+    # SNR-stratified breakdown (extension): per-row snr column + tercile
+    # summary whose bins partition the evaluated rows
+    with open(os.path.join(grid_out, "per_index_metrics.csv")) as fh:
+        header = fh.readline().strip().split(",")
+    assert "snr" in header
+    assert "by_snr" in s, "dataset carries snr -> summary must stratify"
+    assert sum(b["n"] for b in s["by_snr"]) == s["n_rows"]
+    assert all(np.isfinite(b["corr_mean"]) for b in s["by_snr"])
+    los = [b["snr_lo"] for b in s["by_snr"]]
+    assert los == sorted(los)
 
 
 def test_gen_fixed_and_random_modes(tmp_path):
