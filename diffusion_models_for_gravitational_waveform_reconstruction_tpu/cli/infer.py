@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(one batched scan; sampler noise averages down "
                         "~1/sqrt(N) while the conditioned signal is "
                         "coherent). 1 = off.")
+    s.add_argument("--avg-mode", choices=["mean", "median"], default="mean",
+                   help="Seed aggregate: 'median' is outlier-robust "
+                        "(per-seed recons are phase-coherent).")
     s.add_argument("--amp-calib", choices=["none", "mf"], default="none",
                    help="'mf': rescale the whitened recon by the least-"
                         "squares matched-filter amplitude against the "
@@ -217,7 +220,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         model, params, schedule, prep, cfg, key, sampler=args.sampler,
         collect_diagnostics=bool(args.log_jsonl) or args.debug,
         tiled_chunk=args.tiled_chunk, avg_seeds=args.avg_seeds,
-        return_all_seeds=want_spread, amp_calib=args.amp_calib)
+        return_all_seeds=want_spread, amp_calib=args.amp_calib,
+        avg_mode=getattr(args, "avg_mode", "mean"))
     if want_spread:
         x0_raw, x0_white, diag, seeds_white = out
         # seed scatter = reconstruction-uncertainty estimate (extension):

@@ -181,6 +181,8 @@ def eval_indices(
                                      cfg, k, clean_norms=cn,
                                      sampler=getattr(args, "sampler", "ddim"),
                                      avg_seeds=getattr(args, "avg_seeds", 1),
+                                     avg_mode=getattr(args, "avg_mode",
+                                                      "mean"),
                                      amp_calib=getattr(args, "amp_calib",
                                                        "none"),
                                      extra_models=getattr(
@@ -278,7 +280,7 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
                   ["steps", "eta", "start_snr", "start_t", "init_mode",
                    "cfg_scale", "cfg_mode", "cfg_center", "cfg_width",
                    "dc_weight", "win", "align", "mae_norm", "amp_calib",
-                   "avg_seeds", "sampler", "ladder", "seed",
+                   "avg_seeds", "avg_mode", "sampler", "ladder", "seed",
                    "refine_passes", "refine_t", "refine_steps"]},
         "start_t_resolved": getattr(args, "_start_t_resolved", None),
     }

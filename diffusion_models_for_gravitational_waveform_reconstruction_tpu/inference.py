@@ -410,6 +410,7 @@ def reconstruct(
     avg_seeds: int = 1,
     return_all_seeds: bool = False,
     amp_calib: str = "none",
+    avg_mode: str = "mean",
 ):
     """Sample x0 for one prepared measurement; returns (x0_hat_raw strain,
     x0_hat_white, diagnostics|None).
@@ -479,7 +480,13 @@ def reconstruct(
     if S > 1:
         if return_all_seeds:
             seeds_white = (np.asarray(x0_norm)[:, 0, :] * prep["sigma"])
-        x0_norm = x0_norm.mean(axis=0, keepdims=True)
+        # 'median' is the outlier-robust aggregate: per-seed reconstructions
+        # are phase-coherent (measured lag spread <=1 sample, RESULTS.md
+        # "Seed-lag jitter"), so the elementwise median rejects amplitude
+        # excursions of individual trajectories without blurring
+        x0_norm = (jnp.median(x0_norm, axis=0, keepdims=True)
+                   if avg_mode == "median"
+                   else x0_norm.mean(axis=0, keepdims=True))
 
     x0_white = np.asarray(x0_norm).ravel() * prep["sigma"]
     if amp_calib == "mf":
@@ -506,6 +513,7 @@ def reconstruct_batch(
     avg_seeds: int = 1,
     amp_calib: str = "none",
     extra_models: Optional[list] = None,
+    avg_mode: str = "mean",
 ) -> np.ndarray:
     """Batched sampling: one jitted scan over B measurements at once (the
     reference loops samples serially, ``sweep_infer.py:205-243``).
@@ -558,7 +566,10 @@ def reconstruct_batch(
         x0_norm = out if x0_norm is None else x0_norm + out
     x0_norm = x0_norm / len(pairs)
     if S > 1:
-        x0_norm = x0_norm.reshape(S, B, *x0_norm.shape[1:]).mean(axis=0)
+        per_seed = x0_norm.reshape(S, B, *x0_norm.shape[1:])
+        # elementwise median across seeds: robust aggregate (see reconstruct)
+        x0_norm = (jnp.median(per_seed, axis=0) if avg_mode == "median"
+                   else per_seed.mean(axis=0))
     x0_white = np.asarray(x0_norm)[:, 0, :] * np.asarray(sigmas)[:, None]
     if amp_calib == "mf":
         y_white = (np.asarray(cond_stacks)[:, 0, :]

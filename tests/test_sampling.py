@@ -369,6 +369,21 @@ def test_reconstruct_batch_avg_seeds_variance_reduction():
     # averaged output stays centred on the per-seed family, not shifted
     assert np.abs(a16.mean() - a1.mean()) < 10 * np.abs(a1).mean()
 
+    # avg_mode='median': elementwise median across the S seed rows — equals
+    # the mean for S=1, differs for S>1 (stochastic eta=1 trajectories),
+    # stays shape-correct, and also reduces master-key variance
+    def run_med(key, S):
+        return reconstruct_batch(model, params, sched, cond, sigmas, cfg,
+                                 jax.random.PRNGKey(key), avg_seeds=S,
+                                 avg_mode="median")
+
+    m1 = run_med(1, 1)
+    np.testing.assert_allclose(m1, a1, rtol=1e-6)
+    m16, n16 = run_med(1, 16), run_med(2, 16)
+    assert m16.shape == (B, L)
+    assert np.abs(m16 - a16).mean() > 0  # a genuinely different aggregate
+    assert np.abs(m16 - n16).mean() < d1
+
 
 def test_reconstruct_batch_model_ensemble():
     """extra_models ensembling: members sample with the SAME key, so
