@@ -20,6 +20,7 @@ setup(
             "gw-merge=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.merge:main",
             "gw-distill=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.distill:main",
             "gw-soup=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.soup:main",
+            "gw-export=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.export:main",
         ]
     },
 )

@@ -1,0 +1,142 @@
+"""AOT serving export (serving.py + gw-export CLI).
+
+Framework extension — no reference counterpart (the reference serves by
+re-running its Python/torch inference script, ``inference.py:517-903``).
+Covers: exported-artifact round-trip equivalence with the live jitted
+sampler, parity of the serving core with ``reconstruct_batch`` (the CLI
+path users already trust), distilled-checkpoint knob resolution, the
+serving-specific start_t default, sidecar contract contents, and the CLI.
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.export import (
+    main as export_main,
+)
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.inference import (
+    load_model,
+    reconstruct_batch,
+)
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models import UNet1D
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.schedules import (
+    make_schedule,
+)
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.serving import (
+    build_serving_fn,
+    export_sampler,
+    load_exported,
+    resolve_serving_config,
+    validate_export,
+)
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.utils.checkpoint import (
+    save_checkpoint,
+)
+
+B, C, L, T = 2, 5, 256, 50
+ARGS = {"base_ch": 8, "in_ch": 7, "cond_in_ch": C, "T": T,
+        "schedule": "cosine", "pred_type": "v", "time_dim": 16, "depth": 2,
+        "whiten": 1, "whiten_mode": "model", "sigma_mode": "std",
+        "meta_scale": {"M": 80.0, "q": 10.0}}
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve")
+    model = UNet1D(in_ch=7, base_ch=8, time_dim=16, depth=2,
+                   t_embed_max_time=float(T - 1), cond_in_ch=C,
+                   use_selfcond=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 7, 64)),
+                        jnp.zeros((1,), jnp.int32))
+    path = str(d / "model.msgpack")
+    save_checkpoint(path, params, dict(ARGS), epoch=1)
+    return path
+
+
+def _inputs(seed=3):
+    rng = np.random.default_rng(seed)
+    cond = rng.normal(size=(B, C, L)).astype(np.float32)
+    sig = rng.uniform(0.5, 2.0, B).astype(np.float32)
+    return cond, sig
+
+
+def test_export_roundtrip_matches_live(tiny_ckpt, tmp_path):
+    """Deserialized artifact == live jitted serving fn, bit-exact (same
+    program, same platform)."""
+    out = str(tmp_path / "sampler.shlo")
+    export_sampler(tiny_ckpt, out, batch=B, length=L, platforms=["cpu"],
+                   steps=6, avg_seeds=2, amp_calib="mf")
+    call, contract = load_exported(out)
+    model, params, schedule, ck = load_model(tiny_ckpt)
+    cfg, sampler = resolve_serving_config(ck, schedule, steps=6)
+    fn = build_serving_fn(model, schedule, cfg, sampler=sampler,
+                          avg_seeds=2, amp_calib="mf")
+    cond, sig = _inputs()
+    got = np.asarray(call(cond, sig, np.int32(7)))
+    want = np.asarray(jax.jit(lambda c, s, k: fn(params, c, s, k))(
+        cond, sig, jnp.int32(7)))
+    assert got.shape == (B, L)
+    np.testing.assert_array_equal(got, want)
+    assert contract["knobs"]["steps"] == 6
+    assert contract["knobs"]["amp_calib"] == "mf"
+    assert contract["arch"]["base_ch"] == 8
+
+
+def test_serving_core_matches_reconstruct_batch(tiny_ckpt):
+    """The serving fn reproduces reconstruct_batch (the trusted CLI path):
+    exact in normalized domain; MF amp calib differs only by f64-vs-f32
+    roundoff."""
+    model, params, schedule, ck = load_model(tiny_ckpt)
+    cfg, sampler = resolve_serving_config(ck, schedule, steps=5)
+    cond, sig = _inputs(4)
+    seed = 11
+    for avg_seeds, amp, tol in [(1, "none", 0.0), (2, "mf", 1e-4)]:
+        fn = build_serving_fn(model, schedule, cfg, sampler=sampler,
+                              avg_seeds=avg_seeds, amp_calib=amp)
+        got = np.asarray(fn(params, cond, sig, jnp.int32(seed)))
+        want = reconstruct_batch(model, params, schedule, cond, sig, cfg,
+                                 jax.random.PRNGKey(seed),
+                                 avg_seeds=avg_seeds, amp_calib=amp)
+        if tol == 0.0:
+            np.testing.assert_array_equal(got, want)
+        else:
+            np.testing.assert_allclose(got, want, rtol=tol, atol=1e-6)
+
+
+def test_distilled_knob_resolution(tiny_ckpt):
+    """A distilled checkpoint's deployment contract wins over reference
+    defaults; explicit overrides win over both."""
+    _, _, schedule, ck = load_model(tiny_ckpt)
+    dck = dict(ck, distilled_steps=4, distilled_ladder="lambda",
+               distilled_start_t=T - 1, selfcond_mode="zero")
+    cfg, _ = resolve_serving_config(dck, schedule)
+    assert cfg.steps == 4
+    assert cfg.ladder == "lambda"
+    assert cfg.cfg_scale == 1.0          # folded CFG: never re-applied
+    assert cfg.selfcond_mode == "zero"
+    cfg2, _ = resolve_serving_config(dck, schedule, steps=2, cfg_scale=1.3)
+    assert cfg2.steps == 2 and cfg2.cfg_scale == 1.3
+    # plain checkpoint: reference defaults + serving start_t = T-1 (noise
+    # init from mid-chain is the measured footgun)
+    cfg3, _ = resolve_serving_config(ck, schedule)
+    assert cfg3.steps == 200 and cfg3.cfg_scale == 1.5
+    assert int(cfg3.start_t) == T - 1
+
+
+def test_cli_e2e_and_validate(tiny_ckpt, tmp_path):
+    out = str(tmp_path / "artifact.shlo")
+    rc = export_main(["--model", tiny_ckpt, "--output", out,
+                      "--batch-size", str(B), "--length", str(L),
+                      "--platforms", "cpu", "--steps", "4",
+                      "--avg-seeds", "1", "--validate"])
+    assert rc == 0
+    assert os.path.exists(out) and os.path.exists(out + ".json")
+    with open(out + ".json") as fh:
+        contract = json.load(fh)
+    assert contract["calling_convention"]["inputs"]["cond_stack"] == [
+        B, C, L, "float32"]
+    assert validate_export(out) > 0.0
