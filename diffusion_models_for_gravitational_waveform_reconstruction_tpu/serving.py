@@ -254,6 +254,45 @@ def load_exported(path: str):
     return call, contract
 
 
+def run_batched(call, contract: dict, cond_stack, sigmas, seed: int = 0):
+    """Run an exported artifact over ``n`` measurements, chunking and
+    zero-padding to its STATIC batch size.
+
+    The artifact is compiled for a fixed ``(B, C, L)`` (XLA static shapes);
+    arbitrary request sizes are served by slicing into ceil(n/B) calls and
+    padding the tail chunk (pad rows get zero conditioning and σ=1 — the
+    MF-calibration zero-guard keeps them finite — and are dropped from the
+    output).  Each chunk advances the seed so chunks don't share noise.
+
+    Returns ``x0_white (n, L) float32``.
+    """
+    cc = contract["calling_convention"]["inputs"]
+    B, C, L = (int(v) for v in cc["cond_stack"][:3])
+    cond = np.asarray(cond_stack, np.float32)
+    sig = np.asarray(sigmas, np.float32).reshape(-1)
+    if cond.ndim != 3 or cond.shape[1:] != (C, L):
+        raise ValueError(
+            f"cond_stack shape {cond.shape} incompatible with artifact "
+            f"contract (n, {C}, {L})")
+    if sig.shape[0] != cond.shape[0]:
+        raise ValueError(
+            f"sigmas length {sig.shape[0]} != cond_stack rows {cond.shape[0]}")
+    n = cond.shape[0]
+    out = np.empty((n, L), np.float32)
+    for ci, lo in enumerate(range(0, n, B)):
+        hi = min(lo + B, n)
+        cchunk, schunk = cond[lo:hi], sig[lo:hi]
+        if hi - lo < B:
+            pad = B - (hi - lo)
+            cchunk = np.concatenate(
+                [cchunk, np.zeros((pad, C, L), np.float32)], axis=0)
+            schunk = np.concatenate(
+                [schunk, np.ones((pad,), np.float32)], axis=0)
+        res = np.asarray(call(cchunk, schunk, np.int32(int(seed) + ci)))
+        out[lo:hi] = res[:hi - lo]
+    return out
+
+
 def validate_export(path: str, seed: int = 0) -> float:
     """Replay the artifact on random inputs against nothing but its own
     sidecar (shape contract) and return max|output| sanity; raises on shape

@@ -21,6 +21,7 @@ setup(
             "gw-distill=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.distill:main",
             "gw-soup=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.soup:main",
             "gw-export=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.export:main",
+            "gw-serve=diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.serve:main",
         ]
     },
 )

@@ -1,14 +1,18 @@
-"""AOT serving export (serving.py + gw-export CLI).
+"""AOT serving export (serving.py + gw-export / gw-serve CLIs).
 
 Framework extension — no reference counterpart (the reference serves by
 re-running its Python/torch inference script, ``inference.py:517-903``).
 Covers: exported-artifact round-trip equivalence with the live jitted
 sampler, parity of the serving core with ``reconstruct_batch`` (the CLI
 path users already trust), distilled-checkpoint knob resolution, the
-serving-specific start_t default, sidecar contract contents, and the CLI.
+serving-specific start_t default, sidecar contract contents, the export
+CLI, arbitrary-n request chunking (``run_batched``), and the ``gw-serve``
+batch + HTTP modes.
 """
+import io
 import json
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -26,11 +30,16 @@ from diffusion_models_for_gravitational_waveform_reconstruction_tpu.models impor
 from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.schedules import (
     make_schedule,
 )
+from diffusion_models_for_gravitational_waveform_reconstruction_tpu.cli.serve import (
+    main as serve_main,
+    make_server,
+)
 from diffusion_models_for_gravitational_waveform_reconstruction_tpu.serving import (
     build_serving_fn,
     export_sampler,
     load_exported,
     resolve_serving_config,
+    run_batched,
     validate_export,
 )
 from diffusion_models_for_gravitational_waveform_reconstruction_tpu.utils.checkpoint import (
@@ -125,6 +134,93 @@ def test_distilled_knob_resolution(tiny_ckpt):
     cfg3, _ = resolve_serving_config(ck, schedule)
     assert cfg3.steps == 200 and cfg3.cfg_scale == 1.5
     assert int(cfg3.start_t) == T - 1
+
+
+@pytest.fixture(scope="module")
+def tiny_artifact(tiny_ckpt, tmp_path_factory):
+    """One shared 4-step, avg_seeds=1 CPU artifact for the serve tests
+    (export lowering is the slow part; reuse it)."""
+    out = str(tmp_path_factory.mktemp("art") / "sampler.shlo")
+    export_sampler(tiny_ckpt, out, batch=B, length=L, platforms=["cpu"],
+                   steps=4, avg_seeds=1, amp_calib="mf")
+    return out
+
+
+def test_run_batched_chunks_and_pads(tiny_artifact):
+    """Arbitrary-n requests against a static-batch artifact: chunk 0 is the
+    direct call; the padded tail chunk reproduces a hand-padded call at the
+    advanced seed; shape violations raise."""
+    call, contract = load_exported(tiny_artifact)
+    rng = np.random.default_rng(5)
+    n = B + 1                                 # forces a padded tail chunk
+    cond = rng.normal(size=(n, C, L)).astype(np.float32)
+    sig = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    got = run_batched(call, contract, cond, sig, seed=9)
+    assert got.shape == (n, L)
+    want0 = np.asarray(call(cond[:B], sig[:B], np.int32(9)))
+    np.testing.assert_array_equal(got[:B], want0)
+    padc = np.concatenate([cond[B:], np.zeros((B - 1, C, L), np.float32)])
+    pads = np.concatenate([sig[B:], np.ones((B - 1,), np.float32)])
+    want1 = np.asarray(call(padc, pads, np.int32(10)))
+    np.testing.assert_array_equal(got[B:], want1[:1])
+    with pytest.raises(ValueError):
+        run_batched(call, contract, cond[:, :, :L // 2], sig)
+    with pytest.raises(ValueError):
+        run_batched(call, contract, cond, sig[:1])
+
+
+def test_serve_cli_batch_mode(tiny_artifact, tmp_path):
+    req = str(tmp_path / "req.npz")
+    resp = str(tmp_path / "resp.npz")
+    cond, sig = _inputs(6)
+    np.savez(req, cond_stack=cond, sigmas=sig)
+    rc = serve_main(["--artifact", tiny_artifact, "--input", req,
+                     "--output", resp, "--seed", "3"])
+    assert rc == 0
+    out = np.load(resp)
+    call, contract = load_exported(tiny_artifact)
+    want = run_batched(call, contract, cond, sig, seed=3)
+    np.testing.assert_array_equal(out["x0_white"], want)
+    assert int(out["seed"]) == 3
+
+
+def test_serve_http_roundtrip(tiny_artifact):
+    """POST /reconstruct == run_batched at the request seed; /contract
+    serves the sidecar; junk payloads get a 400, not a dead server."""
+    import http.client
+
+    srv = make_server(tiny_artifact, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200 and r.read() == b"ok"
+        conn.request("GET", "/contract")
+        r = conn.getresponse()
+        assert json.loads(r.read())["knobs"]["steps"] == 4
+        cond, sig = _inputs(8)
+        buf = io.BytesIO()
+        np.savez(buf, cond_stack=cond, sigmas=sig, seed=np.int32(5))
+        conn.request("POST", "/reconstruct", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 200
+        out = np.load(io.BytesIO(r.read()))
+        call, contract = load_exported(tiny_artifact)
+        want = run_batched(call, contract, cond, sig, seed=5)
+        np.testing.assert_array_equal(out["x0_white"], want)
+        conn.request("POST", "/reconstruct", body=b"junk")
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        # server still alive after the bad request
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_cli_e2e_and_validate(tiny_ckpt, tmp_path):
