@@ -34,11 +34,15 @@ if [ ! -f runs/big/train_pn155k.h5 ]; then
   rm -f runs/big/train_pnsnr25k.h5
 fi
 
-# --- wait for chain2 to release the TPU ----------------------------------
-while ! grep -q "\[chain2\] all done" /tmp/chain2.log 2>/dev/null; do
+# --- wait for chain1 (not chain2): the fine-tune's first ~20 min is pure
+# CPU dataset prep (AOT f64 whitening of 155k), which overlaps chain2's
+# TPU work (soup grid + spin sensitivity) for free; the ft's TPU phase
+# starts as chain2 winds down (brief concurrency through the tunnel is
+# known-safe, ~2x each). Saves the serial prep window vs waiting on chain2.
+while ! grep -q "\[chain\] all done" /tmp/chain.log 2>/dev/null; do
   sleep 120
 done
-echo "[chain3] chain2 done, TPU free $(date -u +%H:%M:%S)"
+echo "[chain3] chain1 done, starting ft prep $(date -u +%H:%M:%S)"
 
 FINAL=$MODEL_DIR/model_diffusion_ep200.msgpack
 [ -f "$FINAL" ] || FINAL=$MODEL_DIR/model_diffusion.msgpack
@@ -47,7 +51,7 @@ FT=runs/big/model_pn128_ft_snr
 if [ ! -f $FT/latest_model/model_diffusion.msgpack ]; then
   echo "[chain3] fine-tune from $FINAL on 155k $(date -u +%H:%M:%S)"
   $PY -m $PKG.cli.train --data runs/big/train_pn155k.h5 \
-    --model_dir $FT --epochs 20 --batch-size 64 --base_ch 128 --pred_type v \
+    --model_dir $FT --epochs 10 --batch-size 64 --base_ch 128 --pred_type v \
     --whiten 1 --whiten_mode model --t_min_frac 0 --lr 5e-5 \
     --init-from "$FINAL" --save-every-epochs 10 \
     > /tmp/train_ft.log 2>&1
