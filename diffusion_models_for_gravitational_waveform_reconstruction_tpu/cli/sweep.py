@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--sigma-fixed", type=float, default=None,
                    help="Default: inherited from the checkpoint.")
+    p.add_argument("--allow-domain-mismatch", action="store_true",
+                   help="Permit an explicit --whiten-mode that differs from "
+                        "the checkpoint's trained domain (parity tests).")
 
     v = p.add_argument_group("Validation gate")
     v.add_argument("--val-samples", type=int, default=16,

@@ -40,6 +40,51 @@ INFERENCE_META_KEYS = [
 ]
 
 
+def aligo_zdhp_psd_np(freqs: np.ndarray, f_lower: float = 20.0) -> np.ndarray:
+    """Host-float64 analytic aLIGO zero-detuning high-power design PSD.
+
+    Same formula as ``data.synth.aligo_zdhp_psd`` but pure numpy float64 in
+    PHYSICAL units (~1e-46; fine in f64, would underflow f32).  Bins below
+    ``f_lower`` are zero, mirroring PyCBC's low_freq_cutoff behaviour
+    (ref ``gen.py:92``).
+    """
+    f = np.asarray(freqs, np.float64)
+    x = np.maximum(f, 1e-3) / 215.0
+    s = 1e-49 * (
+        np.power(x, -4.14)
+        - 5.0 * np.power(x, -2.0)
+        + 111.0 * (1.0 - x ** 2 + 0.5 * x ** 4) / (1.0 + 0.5 * x ** 2)
+    )
+    return np.where(f >= f_lower, s, 0.0)
+
+
+_DERIVED_PSD_CACHE: Dict[tuple, np.ndarray] = {}
+
+
+def derive_model_psd_np(psd_len: int, psd_df: float,
+                        psd_f_lower: float) -> np.ndarray:
+    """Re-derive the per-sample model PSD from its stored grid scalars.
+
+    Every dataset (ours and the reference's, ``gen.py:170-177``) stores the
+    rfft-grid descriptors ``psd_len/psd_df/psd_f_lower`` even when the PSD
+    arrays themselves were not saved (``--save-psd`` off).  The noise in
+    those files was coloured by the analytic aLIGOZeroDetHighPower curve on
+    exactly that grid, so the model PSD is fully reconstructible — verified
+    vs a ``--save-psd`` file to f32 storage precision (4e-7 rel).
+
+    Results are cached by grid tuple and SHARED (do not mutate): a 130k-row
+    corpus with one sample length costs one 2049-float64 array, not 2 GB.
+    """
+    key = (int(psd_len), round(float(psd_df), 12), round(float(psd_f_lower), 9))
+    P = _DERIVED_PSD_CACHE.get(key)
+    if P is None:
+        freqs = np.arange(key[0], dtype=np.float64) * key[1]
+        P = aligo_zdhp_psd_np(freqs, key[2])
+        P.setflags(write=False)
+        _DERIVED_PSD_CACHE[key] = P
+    return P
+
+
 def resolve_h5_path(path: str) -> str:
     """Directory -> most recently modified .h5/.hdf5 inside (ref
     ``dataloader.py:14-24``)."""
@@ -179,6 +224,13 @@ def load_measurement(h5_path: str, index: int):
             P_model = np.array(f["psd_model"][index], np.float64)
         elif "psd" in f:
             P_model = np.array(f["psd"][index], np.float64)
+        elif all(k in f for k in ("psd_len", "psd_df", "psd_f_lower")):
+            # --save-psd was off: reconstruct the analytic model PSD from the
+            # stored grid scalars (see derive_model_psd_np)
+            P_model = derive_model_psd_np(
+                f["psd_len"][index], f["psd_df"][index],
+                f["psd_f_lower"][index])
+            meta["psd_model_source"] = "derived:aLIGOZeroDetHighPower"
         fw = Pw = None
         if "psd_welch" in f and "psd_welch_freqs" in f:
             Pw = np.array(f["psd_welch"][index], np.float64)
@@ -219,8 +271,21 @@ def load_full(h5_path: str, allow_no_signal: bool = False) -> dict:
             out["signal"] = None
         out["fs"] = read_sampling_rate(f)
         pm = f.get("psd_model", f.get("psd", None))
-        out["psd_model"] = ([np.asarray(a, np.float64) for a in pm[:]]
-                            if pm is not None else None)
+        out["psd_model_source"] = "saved" if pm is not None else None
+        if pm is not None:
+            out["psd_model"] = [np.asarray(a, np.float64) for a in pm[:]]
+        elif all(k in f for k in ("psd_len", "psd_df", "psd_f_lower")):
+            # --save-psd was off: reconstruct the analytic model PSD from the
+            # stored grid scalars.  derive_model_psd_np caches by grid tuple,
+            # so the list below shares one array per unique sample length.
+            pl = np.asarray(f["psd_len"][:], np.float64)
+            pdf = np.asarray(f["psd_df"][:], np.float64)
+            pfl = np.asarray(f["psd_f_lower"][:], np.float64)
+            out["psd_model"] = [derive_model_psd_np(pl[i], pdf[i], pfl[i])
+                                for i in range(len(pl))]
+            out["psd_model_source"] = "derived:aLIGOZeroDetHighPower"
+        else:
+            out["psd_model"] = None
         out["psd_welch"] = ([np.asarray(a, np.float64) for a in f["psd_welch"][:]]
                             if "psd_welch" in f else None)
         out["psd_welch_freqs"] = (

@@ -22,6 +22,7 @@ mirror ``dataloader.py:168-188``.
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -164,6 +165,35 @@ def _resolve_whiten_mode(mode: str, has_model: bool, has_welch: bool) -> str:
     return "train"
 
 
+def _check_whiten_domain(mode: str, has_model: bool, has_welch: bool,
+                         whiten: bool, where: str) -> str:
+    """Return the ACTUAL whitening domain and warn LOUDLY on degradation.
+
+    Round-3 postmortem (VERDICT r3 weak-point 1): an explicit
+    ``whiten_mode='model'`` with no per-sample PSD silently degraded to
+    train-like whitening while the checkpoint recorded 'model' — a lie
+    about its own domain that cost the flagship ~0.07 corr_macro.  Every
+    dataset path now records the *resolved* domain and shouts when a
+    requested mode cannot be satisfied (ref ``dataloader.py:168-188`` is
+    the mode resolution this fallback used to subvert).
+    """
+    if not whiten:
+        return "none"
+    missing = None
+    if mode == "model" and not has_model:
+        missing = "no per-sample model PSD (saved or derivable from grid scalars)"
+    elif mode == "welch" and not has_welch:
+        missing = "no saved Welch PSD"
+    if missing is None:
+        return mode
+    print(
+        f"[pipeline] WARNING: whiten_mode='{mode}' requested for {where} "
+        f"but {missing}; falling back to TRAIN-LIKE whitening. The actual "
+        f"training/eval domain is 'train', not '{mode}'.",
+        file=sys.stderr, flush=True)
+    return "train"
+
+
 def _prep_sample(
     y: np.ndarray,
     x: np.ndarray,
@@ -212,6 +242,10 @@ class PreparedDataset:
     whiten_mode: str
     sigma_mode: str
     n: int
+    # ACTUAL whitening domain after availability checks ('model'/'welch'/
+    # 'train'/'none') — persisted into checkpoints so a fallback can never
+    # again be silent (VERDICT r3 weak-point 1)
+    whiten_mode_resolved: str = "none"
 
     @property
     def bucket_lengths(self) -> List[int]:
@@ -245,14 +279,22 @@ def prepare_dataset(
 
     per_bucket: Dict[int, Dict[str, list]] = {}
     n = raw["n"] if max_samples is None else min(raw["n"], int(max_samples))
-    mode = _resolve_whiten_mode(
-        whiten_mode, raw["psd_model"] is not None,
-        raw["psd_welch"] is not None and raw["psd_welch_freqs"] is not None)
+    has_model = raw["psd_model"] is not None
+    has_welch = (raw["psd_welch"] is not None
+                 and raw["psd_welch_freqs"] is not None)
+    mode = _resolve_whiten_mode(whiten_mode, has_model, has_welch)
+    resolved = _check_whiten_domain(mode, has_model, has_welch, whiten,
+                                    raw["path"])
+    if whiten and mode == "model" and str(
+            raw.get("psd_model_source", "")).startswith("derived"):
+        print(f"[pipeline] model-PSD whitening via derived analytic PSD "
+              f"(--save-psd was off for {raw['path']})",
+              file=sys.stderr, flush=True)
     for i in range(n):
         y = raw["noisy"][i]
         x = raw["signal"][i] if raw["signal"] is not None else np.zeros_like(y)
         y, x, sigma = _prep_sample(
-            y, x, fs, whiten=whiten, whiten_mode=mode, sigma_mode=sigma_mode,
+            y, x, fs, whiten=whiten, whiten_mode=resolved, sigma_mode=sigma_mode,
             sigma_fixed=sigma_fixed,
             psd_model=raw["psd_model"][i] if raw["psd_model"] is not None else None,
             psd_welch=raw["psd_welch"][i] if raw["psd_welch"] is not None else None,
@@ -307,6 +349,7 @@ def prepare_dataset(
     return PreparedDataset(
         buckets=buckets, fs=fs, meta_scale=meta_scale, whiten=whiten,
         whiten_mode=whiten_mode, sigma_mode=sigma_mode, n=n,
+        whiten_mode_resolved=resolved,
     )
 
 
@@ -343,6 +386,7 @@ def dataset_from_arrays(
         buckets={L: bucket}, fs=fs,
         meta_scale=meta_scale or {"M": 80.0, "q": 10.0},
         whiten=whiten, whiten_mode="raw", sigma_mode=sigma_mode, n=N,
+        whiten_mode_resolved="raw" if whiten else "none",
     )
 
 
@@ -422,12 +466,22 @@ class StreamingDataset:
                 lengths = np.fromiter(
                     (len(noisy_ds[i]) for i in range(n_total)),
                     dtype=np.int64, count=n_total)
-            has_model = ("psd_model" in f) or ("psd" in f)
             self._psd_key = "psd_model" if "psd_model" in f else (
                 "psd" if "psd" in f else None)
+            # --save-psd off: per-sample model PSDs are derivable from the
+            # stored grid scalars (hdf5io.derive_model_psd_np)
+            self._psd_grid = None
+            if self._psd_key is None and all(
+                    k in f for k in ("psd_len", "psd_df", "psd_f_lower")):
+                self._psd_grid = (np.asarray(f["psd_len"][:], np.float64),
+                                  np.asarray(f["psd_df"][:], np.float64),
+                                  np.asarray(f["psd_f_lower"][:], np.float64))
+            has_model = self._psd_key is not None or self._psd_grid is not None
             has_welch = ("psd_welch" in f) and ("psd_welch_freqs" in f)
             self.whiten_mode = _resolve_whiten_mode(whiten_mode, has_model,
                                                     has_welch)
+            self.whiten_mode_resolved = _check_whiten_domain(
+                self.whiten_mode, has_model, has_welch, whiten, self.path)
             # scalar metadata: tiny, load eagerly
             self._meta_cols = {}
             for k in ("mass1", "mass2", "spin1z", "spin2z"):
@@ -489,12 +543,19 @@ class StreamingDataset:
                 y = np.asarray(noisy_ds[i], np.float32)
                 x = (np.asarray(sig_ds[i], np.float32) if sig_ds is not None
                      else np.zeros_like(y))
+                if psd_ds is not None:
+                    P_model = np.asarray(psd_ds[i], np.float64)
+                elif self._psd_grid is not None:
+                    pl, pdf, pfl = self._psd_grid
+                    P_model = hdf5io.derive_model_psd_np(pl[i], pdf[i], pfl[i])
+                else:
+                    P_model = None
                 y, x, sigma = _prep_sample(
                     y, x, self.fs, whiten=self.whiten,
-                    whiten_mode=self.whiten_mode, sigma_mode=self.sigma_mode,
+                    whiten_mode=self.whiten_mode_resolved,
+                    sigma_mode=self.sigma_mode,
                     sigma_fixed=self.sigma_fixed,
-                    psd_model=(np.asarray(psd_ds[i], np.float64)
-                               if psd_ds is not None else None),
+                    psd_model=P_model,
                     psd_welch=(np.asarray(pw_ds[i], np.float64)
                                if pw_ds is not None else None),
                     psd_welch_freqs=(np.asarray(pwf_ds[i], np.float64)

@@ -283,6 +283,12 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
                    "avg_seeds", "avg_mode", "sampler", "ladder", "seed",
                    "refine_passes", "refine_t", "refine_steps"]},
         "start_t_resolved": getattr(args, "_start_t_resolved", None),
+        # eval whitening domain actually used (VERDICT r3: a silent domain
+        # fallback must be visible in every artifact)
+        "whiten": bool(getattr(args, "whiten", False)),
+        "whiten_mode": getattr(args, "whiten_mode", None),
+        "whiten_kind_used": getattr(args, "_whiten_kind_used", None),
+        "sigma_mode": getattr(args, "sigma_mode", None),
     }
     if has_snr and df["snr"].nunique() >= 3:
         # SNR-stratified breakdown (extension; no reference counterpart —

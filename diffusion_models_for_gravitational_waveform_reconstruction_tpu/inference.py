@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -183,6 +184,45 @@ def apply_distilled_defaults(args, ck: dict) -> None:
         args.start_t = int(ck["distilled_start_t"])
 
 
+def inherit_whiten_domain(args, ck: dict, where: str = "infer") -> None:
+    """Resolve ``--whiten``/``--whiten-mode`` against the checkpoint's actual
+    TRAINING domain (mutates ``args``; used by gw-infer/gw-grid/gw-sweep).
+
+    Checkpoints record both the requested ``whiten_mode`` and (since r4) the
+    pipeline's resolved domain ``whiten_mode_resolved``.  The resolved value
+    wins: the r3 flagship trained train-like while its args claimed 'model'
+    (silent PSD fallback), and every eval inherited the lie.  An explicit
+    CLI mode that contradicts the training domain is an error unless
+    ``--allow-domain-mismatch`` is passed (raw-algebra parity tests do this
+    deliberately).  Ref ``inference.py:529-577`` (knob inheritance) has no
+    such guard — domain mismatch is a failure class we add detection for.
+    """
+    resolved = str(ck.get("whiten_mode_resolved", "") or "")
+    if getattr(args, "whiten", None) is None:
+        args.whiten = int(bool(ck.get("whiten", False)))
+    if getattr(args, "whiten_mode", None) is None:
+        if resolved in ("model", "welch", "train"):
+            args.whiten_mode = resolved
+            requested = str(ck.get("whiten_mode", resolved))
+            if requested not in ("", "auto", resolved):
+                print(f"[{where}] NOTE: checkpoint requested whiten_mode="
+                      f"'{requested}' but actually TRAINED in '{resolved}' "
+                      f"— evaluating in the trained domain",
+                      file=sys.stderr, flush=True)
+        else:
+            args.whiten_mode = str(ck.get("whiten_mode", "auto"))
+    elif (bool(args.whiten) and resolved in ("model", "welch", "train")
+          and args.whiten_mode not in ("auto", resolved)):
+        msg = (f"[{where}] eval whiten_mode='{args.whiten_mode}' does not "
+               f"match the checkpoint's training domain '{resolved}' — "
+               f"reconstructions would be evaluated in the wrong domain")
+        if getattr(args, "allow_domain_mismatch", False):
+            print(msg + " (allowed by --allow-domain-mismatch)",
+                  file=sys.stderr, flush=True)
+        else:
+            raise ValueError(msg + "; pass --allow-domain-mismatch to force")
+
+
 def sigma_fallbacks(ckpt_path: Optional[str]) -> Dict[str, float]:
     """Hardcoded per-domain fallbacks, overridable by a ``fallback_sigma.json``
     next to the checkpoint (ref ``inference.py:706-717``)."""
@@ -243,6 +283,10 @@ def prepare_measurement(
             else:
                 mode = "train"
         if mode == "model" and P_model is None:
+            print("[inference] WARNING: whiten_mode='model' requested but no "
+                  "model PSD is available (saved or derivable) — degrading "
+                  "to TRAIN-LIKE whitening; the eval domain is 'train'.",
+                  file=sys.stderr, flush=True)
             mode = "train"
         if mode == "welch" and fw_in is not None and Pw_in is not None:
             # a checkpoint trained with whiten_mode='welch' was whitened with

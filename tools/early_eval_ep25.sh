@@ -22,5 +22,5 @@ echo "[early] grid eval exit $? $(date -u +%H:%M:%S)"
 python - <<'EOF'
 import json
 s = json.load(open('runs/flagship/grid_pn128_130k_ep25/summary.json'))
-print('[early] ep25 corr_macro', s.get('corr_macro'), 'mf', s.get('mf_ratio_macro'), 'by_snr', s.get('by_snr'))
+print('[early] ep25 corr_macro', s.get('corr_macro_mean'), 'mf', s.get('mf_ratio_macro_mean'), 'by_snr', s.get('by_snr'))
 EOF

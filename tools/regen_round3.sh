@@ -9,7 +9,7 @@ PKG=diffusion_models_for_gravitational_waveform_reconstruction_tpu
 COMMON="--snr-min 10 --snr-max 30 --progress-every 10000"
 
 if [ ! -f runs/flagship/evalgrid_pn.h5 ]; then
-  python -m $PKG.cli.gen --mode grid --grid-steps 5 --num-samples 150 \
+  python -m $PKG.cli.gen --mode grid --grid-steps 5 --num-samples 150 --save-psd \
     --output-path runs/flagship/evalgrid_pn.h5 \
     --mass1-min 20 --mass1-max 50 --mass2-min 20 --mass2-max 50 \
     --spin1-min -0.6 --spin1-max 0.6 --spin2-min -0.6 --spin2-max 0.6 \
@@ -18,7 +18,7 @@ if [ ! -f runs/flagship/evalgrid_pn.h5 ]; then
 fi
 
 if [ ! -f runs/big/train_pn100k.h5 ] && [ ! -f runs/big/train_pn130k.h5 ]; then
-  python -m $PKG.cli.gen --mode random --num-samples 100000 \
+  python -m $PKG.cli.gen --mode random --num-samples 100000 --save-psd \
     --output-path runs/big/train_pn100k.h5 \
     --mass1-min 20 --mass1-max 50 --mass2-min 20 --mass2-max 50 \
     --spin1-min -0.8 --spin1-max 0.8 --spin2-min -0.8 --spin2-max 0.8 \
@@ -27,7 +27,7 @@ if [ ! -f runs/big/train_pn100k.h5 ] && [ ! -f runs/big/train_pn130k.h5 ]; then
 fi
 
 if [ ! -f runs/big/train_pnlow30k.h5 ] && [ ! -f runs/big/train_pn130k.h5 ]; then
-  python -m $PKG.cli.gen --mode random --num-samples 30000 \
+  python -m $PKG.cli.gen --mode random --num-samples 30000 --save-psd \
     --output-path runs/big/train_pnlow30k.h5 \
     --mass1-min 20 --mass1-max 36 --mass2-min 20 --mass2-max 36 \
     --spin1-min -0.8 --spin1-max 0.8 --spin2-min -0.8 --spin2-max 0.8 \
