@@ -80,7 +80,11 @@ def make_server(artifact: str, host: str = "127.0.0.1", port: int = 0,
             self.wfile.write(body)
 
         def log_message(self, fmt, *args):     # quiet: one line per request
-            print(f"[serve] {self.command} {self.path} {args[1]}",
+            # log_error routes here with single-arg formats ("Request timed
+            # out: %r") — indexing args[1] unconditionally would turn a
+            # benign timeout into a handler traceback (ADVICE r3)
+            detail = args[1] if len(args) > 1 else (fmt % args if args else fmt)
+            print(f"[serve] {self.command} {self.path} {detail}",
                   file=sys.stderr)
 
         def do_GET(self):
@@ -102,14 +106,22 @@ def make_server(artifact: str, host: str = "127.0.0.1", port: int = 0,
                                allow_pickle=False)
                 seed = (int(np.asarray(data["seed"]).item())
                         if "seed" in data else default_seed)
+            except Exception as e:     # payload boundary: junk zip, missing
+                                        # keys, bad ints are the CLIENT's 400
+                self._send(400, f"bad request: {e}".encode(), "text/plain")
+                return
+            try:
                 with lock:
                     x0 = run_batched(call, contract, data["cond_stack"],
                                      data["sigmas"], seed=seed)
-            except Exception as e:     # server boundary: any bad payload
-                                        # (junk zip, missing keys, shape
-                                        # mismatch) is the CLIENT's 400,
-                                        # never a server crash
+            except (KeyError, ValueError) as e:   # shape/key mismatch vs the
+                                                  # artifact contract: client
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
+                return
+            except Exception as e:  # device/backend faults are SERVER errors
+                                    # (ADVICE r3: misreporting them as 400
+                                    # hides the need for operator action)
+                self._send(500, f"server error: {e}".encode(), "text/plain")
                 return
             buf = io.BytesIO()
             np.savez(buf, x0_white=x0, seed=np.int32(seed))

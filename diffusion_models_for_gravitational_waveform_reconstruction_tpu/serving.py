@@ -199,6 +199,20 @@ def export_sampler(ckpt_path: str, out_path: str, *, batch: int, length: int,
         "arch": {k: ck.get(k) for k in ("base_ch", "depth", "time_dim",
                                         "in_ch", "cond_in_ch", "T",
                                         "schedule", "use_attention")},
+        # measurement-prep domain (ADVICE r3): the ingest host must run
+        # prepare_measurement in the checkpoint's EXACT domain to build
+        # cond_stack — with only sampler knobs it could silently prepare in
+        # the wrong domain (e.g. mis-scaled meta channels).  This block makes
+        # the sidecar the complete serving contract.
+        "prep": {
+            "whiten": bool(ck.get("whiten", False)),
+            "whiten_mode": str(ck.get("whiten_mode_resolved", "")
+                               or ck.get("whiten_mode", "auto")),
+            "sigma_mode": str(ck.get("sigma_mode", "std")),
+            "sigma_fixed": float(ck.get("sigma_fixed", 1.0)),
+            "meta_scale": dict(ck.get("meta_scale") or {}),
+            "fs": float(ck.get("fs", 4096.0)),
+        },
         "artifact_bytes": len(blob),
     }
     with open(out_path + ".json", "w") as fh:
@@ -246,6 +260,15 @@ def load_exported(path: str):
     if os.path.exists(sidecar):
         with open(sidecar) as fh:
             contract = json.load(fh)
+        # fail fast on a calling-convention generation mismatch (ADVICE r3):
+        # silently consuming a different contract generation would misread
+        # the input/output layout
+        got = int(contract.get("contract_version", -1))
+        if got != _CONTRACT_VERSION:
+            raise ValueError(
+                f"serving artifact {path} has contract_version {got}; this "
+                f"host speaks {_CONTRACT_VERSION} — re-export the artifact "
+                f"or upgrade the host")
     dev = _artifact_device(exported.platforms)
 
     def call(*args):
