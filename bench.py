@@ -91,11 +91,75 @@ def main():
 
     per_step = (t_at[LONG] - t_at[SCAN_STEPS]) / (LONG - SCAN_STEPS)
     steps_per_sec = B / per_step
+
+    # --- roofline accounting (VERDICT r3 item 7) -------------------------
+    # Marginal XLA cost between the long and short scans = cost of one
+    # sampler step (compile-time static, so this is exact, not sampled).
+    # MFU = achieved FLOP/s vs the chip's peak bf16 matmul rate; BW% =
+    # achieved HBM traffic vs peak bandwidth.  Whichever is higher names
+    # the binding roof.
+    PEAKS = {  # device_kind substring -> (bf16 FLOP/s, HBM bytes/s)
+        "v5 lite": (197e12, 819e9), "v5e": (197e12, 819e9),
+        "v5p": (459e12, 2765e9), "v4": (275e12, 1228e9),
+        "v6": (918e12, 1640e9),
+    }
+    extra = {}
+    try:
+        import jax
+
+        # XLA's cost model counts a scan body ONCE regardless of trip count
+        # (verified empirically), so cost a single unrolled sampler step
+        # instead of differencing two scan lengths.
+        @jax.jit
+        def one_step(params, x_t, cond):
+            sc = jnp.zeros_like(x_t)
+            t_b = jnp.full((B,), 500, jnp.int32)
+            eps_hat = model.apply(params,
+                                  jnp.concatenate([x_t, cond, sc], axis=1),
+                                  t_b)
+            ab_t, ab_prev = 0.5, 0.6
+            x0_hat = (x_t - jnp.sqrt(1 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+            return jnp.sqrt(ab_prev) * x0_hat + jnp.sqrt(1 - ab_prev) * eps_hat
+
+        ca = one_step.lower(params, x_init, cond).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_step = float(ca.get("flops", 0.0))
+        bytes_step = float(ca.get("bytes accessed", 0.0))
+        kind = jax.devices()[0].device_kind.lower()
+        peak = next((v for k, v in PEAKS.items() if k in kind), None)
+        sampler_steps_per_s = steps_per_sec / B      # batched step rate
+        extra = {
+            "flops_per_sampler_step": flops_step,
+            "hbm_bytes_per_sampler_step": bytes_step,
+            "achieved_tflops": round(flops_step * sampler_steps_per_s / 1e12,
+                                     2),
+            "achieved_hbm_gbps": round(bytes_step * sampler_steps_per_s / 1e9,
+                                       1),
+        }
+        if peak:
+            mfu = flops_step * sampler_steps_per_s / peak[0]
+            bw = bytes_step * sampler_steps_per_s / peak[1]
+            extra.update({
+                "device_kind": kind,
+                "mfu": round(mfu, 4),
+                "hbm_bw_util": round(bw, 4),
+                "binding_roof": "hbm" if bw > mfu else "mxu",
+                # XLA 'bytes accessed' counts every op's operands, including
+                # fusion-resident ones, so it UPPER-BOUNDS true HBM traffic;
+                # bw_util near/above 1.0 with low MFU = bandwidth-saturated
+                # (the roof), not a measurement of >peak traffic
+                "roofline_note": "bytes are an XLA cost-model upper bound",
+            })
+    except Exception as e:                 # cost model unavailable: still
+        extra = {"roofline_error": str(e)[:120]}   # print the headline
+
     print(json.dumps({
         "metric": "unet_denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 1),
         "unit": "steps/s/chip (batch=64, base_ch=64, depth=3, L=4096, bf16)",
         "vs_baseline": round(steps_per_sec / 5000.0, 3),
+        **extra,
     }))
 
 

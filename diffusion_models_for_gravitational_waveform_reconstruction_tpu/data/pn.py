@@ -273,26 +273,48 @@ def monotone_v_term(v_min, v_cand, M_s, eta, beta, sigma, npts: int = 64):
 
 
 def invert_tau(tau_target, M_s, eta, beta, sigma, v_min, v_max,
-               iters: int = 10):
-    """Solve tau(v) = tau_target elementwise by safeguarded Newton.
+               iters: int = 24):
+    """Solve tau(v) = tau_target elementwise by BRACKETED Newton-bisection.
 
     ``tau_target`` may be any shape; v_min/v_max are scalars bounding the
-    monotone branch.  Initial iterate is the Newtonian closed form
-    v = (5M/(256 eta tau))^(1/8); convergence is quadratic (typically <=5
-    iterations to f32 roundoff).
+    monotone (tau-decreasing) branch.  Each element keeps a [lo, hi]
+    bracket: Newton steps that stay inside it are taken (quadratic
+    convergence); steps that leave it fall back to the midpoint, so the
+    iteration can never escape the branch or cycle between the clip bounds.
+
+    The previous clip-only safeguard could PHASE-GLITCH near the tau
+    turnover: with tau_target ~ 0 the Newtonian initial iterate clips to
+    v_max where dtau/dv -> 0, the floored derivative produced a huge step
+    to the opposite bound, and the landing point depended on v_min — the
+    same (m1, m2, chi) sample got a different (wrong) v near merger when
+    generated with a different f_lower.  Measured on (20+20, chi=+0.6):
+    zero-crossing frequencies near the peak ran ...85, 93, 68(!), 137,
+    205 Hz with f_lower=14 vs a clean monotone sweep with f_lower=20; the
+    TaylorF2-match of the assembly dropped 0.989 -> 0.931.  Bracketed
+    bisection is f_lower-independent by construction.
     """
     tau_floor = jnp.maximum(tau_target, 1e-8)
+    shape = jnp.shape(tau_floor)
+    lo = jnp.broadcast_to(jnp.asarray(v_min, tau_floor.dtype), shape)
+    hi = jnp.broadcast_to(jnp.asarray(v_max, tau_floor.dtype), shape)
     v0 = jnp.power(5.0 * M_s / (256.0 * eta * tau_floor), 0.125)
     v0 = jnp.clip(v0, v_min, v_max)
 
-    def body(_, v):
+    def body(_, state):
+        lo, hi, v = state
         t = tau_of_v(v, M_s, eta, beta, sigma)
-        d = _dtau_dv(v, M_s, eta, beta, sigma)
-        d = jnp.minimum(d, -1e-12)          # tau is decreasing on the branch
-        v_new = v - (t - tau_target) / d
-        return jnp.clip(v_new, v_min, v_max)
+        # tau decreasing: t > target => root lies at larger v
+        above = t > tau_target
+        lo = jnp.where(above, jnp.maximum(lo, v), lo)
+        hi = jnp.where(above, hi, jnp.minimum(hi, v))
+        d = jnp.minimum(_dtau_dv(v, M_s, eta, beta, sigma), -1e-12)
+        v_newton = v - (t - tau_target) / d
+        mid = 0.5 * (lo + hi)
+        use_mid = (~jnp.isfinite(v_newton)) | (v_newton <= lo) | (v_newton >= hi)
+        return lo, hi, jnp.where(use_mid, mid, v_newton)
 
-    return jax.lax.fori_loop(0, iters, body, v0)
+    _, _, v = jax.lax.fori_loop(0, iters, body, (lo, hi, v0))
+    return v
 
 
 # ---------------------------------------------------------------------------

@@ -331,3 +331,38 @@ def test_generate_sample_qnm_config_plumbed():
     si = np.asarray(out_i["signal"], np.float64)
     assert np.isfinite(sq).all() and np.isfinite(si).all()
     assert np.abs(sq - si).max() > 0.0
+
+
+def test_invert_tau_bracketed_f_lower_independence():
+    """The waveform near merger must not depend on the f_lower used to
+    generate it (regression: the clip-only Newton safeguard phase-glitched
+    near the tau turnover, landing on a v that depended on v_min; r4 fix =
+    bracketed Newton-bisection).  (20+20, chi=+0.6) reproduced it."""
+    import numpy as np
+
+    fs, n = 4096, 32768
+    tails = {}
+    for fl in (14.0, 20.0):
+        h = np.asarray(pn.pn_chirp(
+            jnp.asarray(20.0), jnp.asarray(20.0),
+            jnp.asarray(0.6), jnp.asarray(0.6),
+            n=n, fs=fs, distance=410.0, f_lower=fl,
+            fplus=1.0, fcross=0.0), np.float64)
+        pk = int(np.argmax(np.abs(h)))
+        tails[fl] = h[pk - 2048:pk + 128]
+    a, b = tails[14.0], tails[20.0]
+    corr = float(np.dot(a, b) / np.sqrt(np.dot(a, a) * np.dot(b, b)))
+    assert corr > 0.9999, corr
+
+
+def test_invert_tau_matches_forward_tau():
+    """invert_tau(tau_of_v(v)) == v across the branch (bracket correctness)."""
+    import numpy as np
+
+    M_s, eta = pn.mass_params(30.0, 25.0)
+    beta, sigma = pn.spin_phasing_params(30.0, 25.0, 0.4, -0.3)
+    v_min, v_max = 0.15, 0.45
+    v_true = jnp.linspace(v_min + 1e-3, v_max - 1e-3, 257)
+    tau = pn.tau_of_v(v_true, M_s, eta, beta, sigma)
+    v_rec = pn.invert_tau(tau, M_s, eta, beta, sigma, v_min, v_max)
+    assert float(jnp.max(jnp.abs(v_rec - v_true))) < 1e-5
