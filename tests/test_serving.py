@@ -236,3 +236,50 @@ def test_cli_e2e_and_validate(tiny_ckpt, tmp_path):
     assert contract["calling_convention"]["inputs"]["cond_stack"] == [
         B, C, L, "float32"]
     assert validate_export(out) > 0.0
+
+
+def test_sidecar_prep_block_and_version_gate(tiny_artifact, tmp_path):
+    """ADVICE r3: the sidecar must carry the measurement-prep domain so an
+    ingest host can run prepare_measurement from the contract alone, and
+    load_exported must fail fast on a contract-generation mismatch."""
+    _, contract = load_exported(tiny_artifact)
+    prep = contract["prep"]
+    assert prep["whiten"] is True
+    assert prep["whiten_mode"] == "model"
+    assert prep["sigma_mode"] == "std"
+    assert prep["meta_scale"] == {"M": 80.0, "q": 10.0}
+
+    # future-generation sidecar -> hard error, not silent consumption
+    import shutil
+    art2 = str(tmp_path / "v2.shlo")
+    shutil.copy(tiny_artifact, art2)
+    bad = dict(contract, contract_version=999)
+    with open(art2 + ".json", "w") as fh:
+        json.dump(bad, fh)
+    with pytest.raises(ValueError, match="contract_version"):
+        load_exported(art2)
+
+
+def test_serve_http_wrong_shape_is_400_server_alive(tiny_artifact):
+    """A well-formed npz whose shapes violate the artifact contract is the
+    client's 400 (run_batched ValueError path), and the server survives."""
+    import http.client
+
+    srv = make_server(tiny_artifact, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        cond, sig = _inputs(4)
+        buf = io.BytesIO()
+        np.savez(buf, cond_stack=cond[:, :, :L // 2], sigmas=sig)
+        conn.request("POST", "/reconstruct", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+    finally:
+        srv.shutdown()
+        srv.server_close()
