@@ -531,7 +531,8 @@ def build_model_and_state(
 
 
 def checkpoint_args(cfg: TrainConfig, in_ch: int, cond_in_ch: int, c_meta: int,
-                    meta_scale: dict, whiten_mode_resolved: str = "") -> dict:
+                    meta_scale: dict, whiten_mode_resolved: str = "",
+                    data_fs: float = 0.0) -> dict:
     """The checkpoint ``args`` contract (ref ``train.py:611-625``).
 
     ``whiten_mode_resolved`` records the ACTUAL whitening domain the data
@@ -541,6 +542,10 @@ def checkpoint_args(cfg: TrainConfig, in_ch: int, cond_in_ch: int, c_meta: int,
     d = dataclasses.asdict(cfg)
     d.update({
         "whiten_mode_resolved": whiten_mode_resolved,
+        # sampling rate of the training data: a serving/ingest host must
+        # prepare measurements at the SAME fs (16 kHz checkpoints would
+        # otherwise inherit a silent 4096 default)
+        "fs": float(data_fs),
         "conditional": True,
         "in_ch": in_ch,
         "cond_in_ch": cond_in_ch,
@@ -605,6 +610,7 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
     # VERDICT r3 weak-point 1); synthetic/array datasets predate the field
     wm_resolved = getattr(dataset, "whiten_mode_resolved",
                           "train" if cfg.whiten else "none")
+    data_fs = float(getattr(dataset, "fs", 0.0))
 
     c_meta = dpipe.meta_dim(dataset)
     n_batches = dpipe.num_batches(dataset, cfg.batch_size)
@@ -806,7 +812,7 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
         if cfg.skip_bad_batches and n_seen >= 4 and skipped > n_seen // 2:
             _save(out_dir, state, cfg, in_ch, cond_in_ch, c_meta, meta_scale,
                   epoch, name="model_diffusion_aborted.msgpack", key=key,
-                  whiten_mode_resolved=wm_resolved)
+                  whiten_mode_resolved=wm_resolved, data_fs=data_fs)
             raise RuntimeError(
                 f"epoch {epoch}: {skipped}/{n_seen} batches skipped "
                 f"(non-finite or above loss threshold) — aborting; last "
@@ -836,10 +842,11 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
         if cfg.save_every_epochs and epoch % cfg.save_every_epochs == 0:
             _save(out_dir, state, cfg, in_ch, cond_in_ch, c_meta, meta_scale, epoch,
                   name=f"model_diffusion_ep{epoch}.msgpack", key=key,
-                  whiten_mode_resolved=wm_resolved)
+                  whiten_mode_resolved=wm_resolved, data_fs=data_fs)
 
     save_path = _save(out_dir, state, cfg, in_ch, cond_in_ch, c_meta, meta_scale,
-                      cfg.epochs, key=key, whiten_mode_resolved=wm_resolved)
+                      cfg.epochs, key=key, whiten_mode_resolved=wm_resolved,
+                      data_fs=data_fs)
     print(f"[train] saved model to {save_path}")
     return {
         "state": state, "model": model, "schedule": schedule,
@@ -850,13 +857,14 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
 
 def _save(out_dir, state: TrainState, cfg, in_ch, cond_in_ch, c_meta, meta_scale,
           epoch, name="model_diffusion.msgpack", key=None,
-          whiten_mode_resolved: str = ""):
+          whiten_mode_resolved: str = "", data_fs: float = 0.0):
     path = os.path.join(out_dir, name)
     save_checkpoint(
         path,
         model_state=state.params,
         args=checkpoint_args(cfg, in_ch, cond_in_ch, c_meta, meta_scale,
-                             whiten_mode_resolved=whiten_mode_resolved),
+                             whiten_mode_resolved=whiten_mode_resolved,
+                             data_fs=data_fs),
         epoch=epoch,
         model_ema_state=state.ema_params if cfg.ema else None,
         opt_state=state.opt_state,
