@@ -50,7 +50,7 @@ B, C, L, T = 2, 5, 256, 50
 ARGS = {"base_ch": 8, "in_ch": 7, "cond_in_ch": C, "T": T,
         "schedule": "cosine", "pred_type": "v", "time_dim": 16, "depth": 2,
         "whiten": 1, "whiten_mode": "model", "sigma_mode": "std",
-        "meta_scale": {"M": 80.0, "q": 10.0}}
+        "meta_scale": {"M": 80.0, "q": 10.0}, "fs": 2048.0}
 
 
 @pytest.fixture(scope="module")
@@ -248,6 +248,7 @@ def test_sidecar_prep_block_and_version_gate(tiny_artifact, tmp_path):
     assert prep["whiten_mode"] == "model"
     assert prep["sigma_mode"] == "std"
     assert prep["meta_scale"] == {"M": 80.0, "q": 10.0}
+    assert prep["fs"] == 2048.0          # from checkpoint args, not default
 
     # future-generation sidecar -> hard error, not silent consumption
     import shutil
