@@ -310,29 +310,48 @@ def test_welch_whitening_path(tmp_path):
 
 
 def test_train_whitening_auto_cascade(tmp_path):
-    """With NO saved PSDs, whiten_mode=auto falls through to the
-    self-estimated 'train' whitening on both the train and infer sides."""
+    """whiten_mode=auto end-to-end consistency. Since r4 a dataset without
+    saved PSDs still yields MODEL whitening (the analytic PSD is derived
+    from the stored grid scalars), recorded as the checkpoint's resolved
+    domain and inherited by inference.  With the grid scalars stripped too,
+    auto falls through to self-estimated 'train' whitening on both sides."""
+    import h5py
+
     path = str(tmp_path / "nopsd.h5")
     cli_gen.main([
         "--mode", "fixed", "--num-samples", "4", "--output-path", path,
         "--mass1", "35", "--mass2", "30", "--snr", "18", "--seed", "6"])
 
-    mdir = str(tmp_path / "m")
-    cli_train.main([
-        "--data", path, "--model_dir", mdir, "--epochs", "1",
-        "--batch-size", "2", "--base_ch", "8", "--time_dim", "16",
-        "--depth", "1", "--T", "10", "--whiten", "1", "--whiten_mode",
-        "auto", "--warmup_steps", "1", "--no-bf16"])
-    ckpt = os.path.join(mdir, "latest_model", "model_diffusion.msgpack")
+    def train_and_infer(h5, tag):
+        mdir = str(tmp_path / ("m_" + tag))
+        cli_train.main([
+            "--data", h5, "--model_dir", mdir, "--epochs", "1",
+            "--batch-size", "2", "--base_ch", "8", "--time_dim", "16",
+            "--depth", "1", "--T", "10", "--whiten", "1", "--whiten_mode",
+            "auto", "--warmup_steps", "1", "--no-bf16"])
+        ckpt = os.path.join(mdir, "latest_model", "model_diffusion.msgpack")
+        with open(ckpt + ".args.json") as fh:
+            resolved = json.load(fh)["whiten_mode_resolved"]
+        out = str(tmp_path / ("infer_" + tag))
+        cli_infer.main([
+            "--input-h5", h5, "--index", "0", "--model", ckpt,
+            "--outdir", out, "--steps", "3", "--run-tag", "t"])
+        with open(os.path.join(out, "metrics_t.json")) as fh:
+            m = json.load(fh)
+        assert np.isfinite(m["strain"]["corr_last"])
+        return resolved, m["whiten_kind"]
 
-    out = str(tmp_path / "infer")
-    cli_infer.main([
-        "--input-h5", path, "--index", "0", "--model", ckpt,
-        "--outdir", out, "--steps", "3", "--run-tag", "t"])
-    with open(os.path.join(out, "metrics_t.json")) as fh:
-        m = json.load(fh)
-    assert m["whiten_kind"] == "train"
-    assert np.isfinite(m["strain"]["corr_last"])
+    # derivable grid scalars present -> model domain, train == infer
+    assert train_and_infer(path, "model") == ("model", "model")
+
+    # scalars stripped -> genuine fall-through to 'train' on both sides
+    bare = str(tmp_path / "noscalars.h5")
+    import shutil
+    shutil.copy(path, bare)
+    with h5py.File(bare, "a") as f:
+        for k in ("psd_len", "psd_df", "psd_f_lower"):
+            del f[k]
+    assert train_and_infer(bare, "train") == ("train", "train")
 
 
 def test_sweep_grid_inherit_whiten_domain(workdir, dataset, checkpoint):
