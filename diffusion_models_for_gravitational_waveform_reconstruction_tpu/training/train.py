@@ -625,6 +625,16 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
     print(f"[train] C_meta={c_meta} cond_in_ch={cond_in_ch} in_ch={in_ch} "
           f"batches/epoch={n_batches} devices={len(jax.devices())}")
 
+    # analytic MFU accounting (utils/roofline.py; validated 98% vs XLA cost
+    # analysis): fwd + ~2x bwd + an extra selfcond forward on p_selfcond of
+    # the steps
+    from ..utils.roofline import peak_for, unet_flops_per_sample
+    _fwd_flops = unet_flops_per_sample(
+        dataset.bucket_lengths[0], in_ch, cfg.base_ch, cfg.depth,
+        cond_ch=cond_in_ch, use_attention=cfg.use_attention)
+    _train_flops_per_sample = (3.0 + float(cfg.p_selfcond)) * _fwd_flops
+    _peak = peak_for(jax.devices()[0].device_kind)
+
     step_fn = make_train_step(model, schedule, cfg, optimizer, lr_sched)
     probe_fn = make_probe_fn(model, schedule, cfg) if cfg.probe_cond else None
     debug_x0_fn = None   # built lazily on the first debug-enabled batch
@@ -826,16 +836,20 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
         steps_per_s = n_batches / dt_epoch
         samples_per_s = steps_per_s * cfg.batch_size
         n_dev = max(1, len(jax.devices()))
+        mfu_est = (_train_flops_per_sample * samples_per_s / n_dev / _peak[0]
+                   if _peak else None)
         print(f"[train] epoch {epoch}: avg/sample={avg:.6f} mean/batch={mean_b:.6f} "
               f"median/batch={med_b:.6f} skipped={skipped} "
               f"({steps_per_s:.2f} steps/s, {samples_per_s:.1f} samples/s, "
-              f"{samples_per_s / n_dev:.1f} samples/s/chip)")
+              f"{samples_per_s / n_dev:.1f} samples/s/chip"
+              + (f", MFU~{mfu_est:.3f}" if mfu_est is not None else "") + ")")
         logger.log({"phase": "epoch_end", "epoch": epoch, "avg_per_sample": avg,
                     "mean_per_batch": mean_b, "median_per_batch": med_b,
                     "skipped_batches": skipped,
                     "steps_per_sec": steps_per_s,
                     "samples_per_sec": samples_per_s,
                     "samples_per_sec_per_chip": samples_per_s / n_dev,
+                    "mfu_est": mfu_est,
                     "elapsed_s": time.time() - t_run0})
         history.append({"epoch": epoch, "avg_per_sample": avg})
 
