@@ -98,11 +98,9 @@ def main():
     # MFU = achieved FLOP/s vs the chip's peak bf16 matmul rate; BW% =
     # achieved HBM traffic vs peak bandwidth.  Whichever is higher names
     # the binding roof.
-    PEAKS = {  # device_kind substring -> (bf16 FLOP/s, HBM bytes/s)
-        "v5 lite": (197e12, 819e9), "v5e": (197e12, 819e9),
-        "v5p": (459e12, 2765e9), "v4": (275e12, 1228e9),
-        "v6": (918e12, 1640e9),
-    }
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.utils.roofline import (
+        peak_for,
+    )
     extra = {}
     try:
         import jax
@@ -127,7 +125,7 @@ def main():
         flops_step = float(ca.get("flops", 0.0))
         bytes_step = float(ca.get("bytes accessed", 0.0))
         kind = jax.devices()[0].device_kind.lower()
-        peak = next((v for k, v in PEAKS.items() if k in kind), None)
+        peak = peak_for(kind)
         sampler_steps_per_s = steps_per_sec / B      # batched step rate
         extra = {
             "flops_per_sampler_step": flops_step,
