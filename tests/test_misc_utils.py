@@ -59,3 +59,23 @@ def test_jsonl_logger(tmp_path):
     assert rows[1]["y"] == 2
     # disabled logger is a no-op
     JsonlLogger(None).log({"ignored": True})
+
+
+def test_unet_flops_analytic_matches_xla_reference():
+    """Closed-form FLOPs count (utils/roofline.py) vs the XLA cost-analysis
+    number recorded for the bench model (124.46 GFLOP per batch-64 forward +
+    DDIM update -> 1.9447 GFLOP/sample): must agree within 5% (GN/SiLU/
+    resize are excluded from the analytic count)."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.utils.roofline import (
+        peak_for, unet_flops_per_sample)
+
+    f = unet_flops_per_sample(4096, 7, 64, 3, cond_ch=5)
+    assert abs(f - 1.9447e9) / 1.9447e9 < 0.05
+    # doubling base_ch ~4x the conv FLOPs
+    f2 = unet_flops_per_sample(4096, 7, 128, 3, cond_ch=5)
+    assert 3.5 < f2 / f < 4.3
+    # attention adds quadratic-in-L terms at the bottleneck
+    fa = unet_flops_per_sample(4096, 7, 64, 3, cond_ch=5, use_attention=True)
+    assert fa > f
+    assert peak_for("TPU v5 lite0") == (197e12, 819e9)
+    assert peak_for("unknown accelerator") is None
