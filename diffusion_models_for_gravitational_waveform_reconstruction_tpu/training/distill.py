@@ -294,7 +294,13 @@ def distill(cfg: DistillConfig, dataset=None) -> Dict[str, Any]:
         dataset = dpipe.prepare_dataset(
             cfg.data,
             whiten=bool(ck.get("whiten", 0)),
-            whiten_mode=str(ck.get("whiten_mode", "auto")),
+            # the teacher's RESOLVED training domain, not its request — a
+            # pre-r4 teacher whose PSD fallback fired would otherwise have
+            # its student distilled in a different whitening domain
+            whiten_mode=(str(ck["whiten_mode_resolved"])
+                         if ck.get("whiten_mode_resolved")
+                         in ("model", "welch", "train")
+                         else str(ck.get("whiten_mode", "auto"))),
             sigma_mode=str(ck.get("sigma_mode", "std")),
             sigma_fixed=float(ck.get("sigma_fixed", 1.0)),
             include_metadata=bool(ck.get("meta_enabled", True)),
