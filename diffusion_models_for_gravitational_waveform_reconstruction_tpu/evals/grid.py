@@ -177,16 +177,19 @@ def eval_indices(
         cn = (np.concatenate(cleans, axis=0)
               if all(c is not None for c in cleans) else None)
         key, k = jax.random.split(key)
-        x0_white = reconstruct_batch(model, params, schedule, conds, sigmas,
-                                     cfg, k, clean_norms=cn,
-                                     sampler=getattr(args, "sampler", "ddim"),
-                                     avg_seeds=getattr(args, "avg_seeds", 1),
-                                     avg_mode=getattr(args, "avg_mode",
-                                                      "mean"),
-                                     amp_calib=getattr(args, "amp_calib",
-                                                       "none"),
-                                     extra_models=getattr(
-                                         args, "_extra_models", None))
+        avg_seeds = int(getattr(args, "avg_seeds", 1))
+        out = reconstruct_batch(model, params, schedule, conds, sigmas,
+                                cfg, k, clean_norms=cn,
+                                sampler=getattr(args, "sampler", "ddim"),
+                                avg_seeds=avg_seeds,
+                                avg_mode=getattr(args, "avg_mode",
+                                                 "mean"),
+                                amp_calib=getattr(args, "amp_calib",
+                                                  "none"),
+                                extra_models=getattr(
+                                    args, "_extra_models", None),
+                                return_seed_std=avg_seeds > 1)
+        x0_white, std_white = out if avg_seeds > 1 else (out, None)
         for j, i in enumerate(idxs):
             p = preps[i]
             x0_raw = dewhiten_back(x0_white[j].astype(np.float64), p)
@@ -214,6 +217,13 @@ def eval_indices(
                 "sigma": p["sigma"],
                 "L": p["L"],
             }
+            if std_white is not None:
+                # relative seed-ensemble scatter: RMS of the per-seed std
+                # over the whitened recon's RMS — dimensionless, invariant
+                # to the MF amplitude calibration applied to the aggregate
+                num = float(np.sqrt(np.mean(std_white[j] ** 2)))
+                den = float(np.sqrt(np.mean(x0_white[j] ** 2)))
+                row["unc_rel"] = num / den if den > 0 else float("nan")
             if p.get("P_model_used") is not None:
                 P = np.asarray(p["P_model_used"], np.float64)
                 rho_r = M.matched_filter_snr(x0_raw, clean, P, p["fs"])
@@ -245,6 +255,8 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
         n=("index", "count"))
     if "mf_ratio" in df.columns:
         agg_cols["mf_ratio_mean"] = ("mf_ratio", "mean")
+    if "unc_rel" in df.columns:
+        agg_cols["unc_rel_mean"] = ("unc_rel", "mean")
     agg = df.groupby(["m1", "m2"]).agg(**agg_cols).reset_index()
     agg.to_csv(os.path.join(args.outdir, "metrics_grid.csv"), index=False)
     agg.to_json(os.path.join(args.outdir, "metrics_grid.json"),
@@ -290,6 +302,33 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
         "whiten_kind_used": getattr(args, "_whiten_kind_used", None),
         "sigma_mode": getattr(args, "sigma_mode", None),
     }
+    if "unc_rel" in df.columns and df["unc_rel"].notna().sum() >= 3:
+        # Uncertainty calibration (extension; no reference counterpart):
+        # does the seed-ensemble scatter PREDICT the actual error?  Rank
+        # correlation between unc_rel and (1 - corr) across evaluated rows;
+        # computed here (not scipy) to stay dependency-light.
+        sel = df[df["unc_rel"].notna() & df["corr"].notna()]
+        u = sel["unc_rel"].values.astype(np.float64)
+        e = 1.0 - sel["corr"].values.astype(np.float64)
+
+        def _pearson(a, b):
+            a = a - a.mean()
+            b = b - b.mean()
+            d = np.sqrt((a * a).sum() * (b * b).sum())
+            return float((a * b).sum() / d) if d > 0 else float("nan")
+
+        def _rank(a):
+            r = np.empty(len(a))
+            r[np.argsort(a, kind="stable")] = np.arange(len(a))
+            return r
+
+        summary["uncertainty"] = {
+            "n": int(len(sel)),
+            "unc_rel_mean": float(u.mean()),
+            "unc_rel_median": float(np.median(u)),
+            "pearson_unc_vs_err": _pearson(u, e),
+            "spearman_unc_vs_err": _pearson(_rank(u), _rank(e)),
+        }
     if has_snr and df["snr"].nunique() >= 3:
         # SNR-stratified breakdown (extension; no reference counterpart —
         # grid_infer.py aggregates by mass cell only).  Motivation: measured

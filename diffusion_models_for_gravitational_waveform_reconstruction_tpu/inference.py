@@ -558,6 +558,7 @@ def reconstruct_batch(
     amp_calib: str = "none",
     extra_models: Optional[list] = None,
     avg_mode: str = "mean",
+    return_seed_std: bool = False,
 ) -> np.ndarray:
     """Batched sampling: one jitted scan over B measurements at once (the
     reference loops samples serially, ``sweep_infer.py:205-243``).
@@ -578,7 +579,14 @@ def reconstruct_batch(
     disagreement; seed diversity stays ``avg_seeds``' job.  Members must
     share schedule/pred_type/conditioning domain (callers validate).
 
-    Returns whitened-domain reconstructions (B, L).
+    Returns whitened-domain reconstructions (B, L).  With
+    ``return_seed_std`` (requires ``avg_seeds`` > 1) returns
+    ``(x0_white, std_white)`` where ``std_white`` (B, L) is the elementwise
+    std of the per-seed whitened reconstructions — the seed-ensemble
+    scatter, an epistemic-uncertainty estimate with no reference
+    counterpart.  With ``amp_calib="mf"`` the std is rescaled by the same
+    per-row calibration factor as the aggregate, so the two stay in one
+    amplitude domain.
     """
 
     sample_fn = {"ddim": ddim_sample, "ddpm": ddpm_sample,
@@ -609,8 +617,12 @@ def reconstruct_batch(
             p_i, schedule, cond, key, cfg, clean_norm=cn)
         x0_norm = out if x0_norm is None else x0_norm + out
     x0_norm = x0_norm / len(pairs)
+    std_white = None
     if S > 1:
         per_seed = x0_norm.reshape(S, B, *x0_norm.shape[1:])
+        if return_seed_std:
+            std_white = (np.asarray(per_seed.std(axis=0))[:, 0, :]
+                         * np.asarray(sigmas)[:, None])
         # elementwise median across seeds: robust aggregate (see reconstruct)
         x0_norm = (jnp.median(per_seed, axis=0) if avg_mode == "median"
                    else per_seed.mean(axis=0))
@@ -619,7 +631,11 @@ def reconstruct_batch(
         y_white = (np.asarray(cond_stacks)[:, 0, :]
                    * np.asarray(sigmas)[:, None])
         for i in range(x0_white.shape[0]):
-            x0_white[i], _ = mf_amp_calibrate(x0_white[i], y_white[i])
+            x0_white[i], s_cal = mf_amp_calibrate(x0_white[i], y_white[i])
+            if std_white is not None:
+                std_white[i] = std_white[i] * s_cal
+    if return_seed_std:
+        return x0_white, std_white
     return x0_white
 
 

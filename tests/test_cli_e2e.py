@@ -119,6 +119,28 @@ def test_sweep_and_grid_handoff(workdir, dataset, checkpoint):
     assert los == sorted(los)
 
 
+def test_grid_uncertainty_block(workdir, dataset, checkpoint):
+    """--avg-seeds > 1 -> per-row seed-ensemble scatter (unc_rel) lands in
+    the CSV and the summary gains an uncertainty-calibration block
+    (extension; no reference counterpart)."""
+    out = os.path.join(workdir, "grid_unc")
+    cli_grid.main([
+        "--input-h5", dataset, "--model", checkpoint, "--outdir", out,
+        "--steps", "4", "--per-cell", "2", "--avg-seeds", "2",
+        "--whiten", "1", "--whiten-mode", "model", "--unordered"])
+    with open(os.path.join(out, "per_index_metrics.csv")) as fh:
+        header = fh.readline().strip().split(",")
+    assert "unc_rel" in header
+    with open(os.path.join(out, "summary.json")) as fh:
+        s = json.load(fh)
+    unc = s.get("uncertainty")
+    assert unc is not None
+    assert unc["n"] >= 3
+    assert unc["unc_rel_mean"] > 0 and np.isfinite(unc["unc_rel_mean"])
+    # rank correlation is a correlation: bounded
+    assert -1.0 <= unc["spearman_unc_vs_err"] <= 1.0
+
+
 def test_gen_fixed_and_random_modes(tmp_path):
     import h5py
 

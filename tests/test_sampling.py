@@ -385,6 +385,53 @@ def test_reconstruct_batch_avg_seeds_variance_reduction():
     assert np.abs(m16 - n16).mean() < d1
 
 
+def test_reconstruct_batch_seed_std():
+    """return_seed_std: (x0, std) with matching shapes, strictly positive
+    scatter for stochastic trajectories, and the aggregate identical to the
+    plain call (the std tap must not perturb sampling)."""
+    import flax.linen as nn
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.inference import (
+        reconstruct_batch,
+    )
+
+    class TinyNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, t):
+            h = nn.Conv(4, (3,), padding="SAME")(jnp.moveaxis(x, 1, -1))
+            h = nn.silu(h)
+            h = nn.Conv(1, (3,), padding="SAME")(h)
+            return jnp.moveaxis(h, -1, 1)
+
+    sched = make_schedule(50, "cosine")
+    model = TinyNet()
+    B, L = 2, 64
+    cond = np.random.default_rng(3).normal(size=(B, 1, L)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, L)), jnp.zeros((1,), jnp.int32))
+    sigmas = np.array([1.0, 2.0], np.float32)
+    cfg = SamplerConfig(steps=6, eta=1.0, cfg_scale=1.0, use_selfcond=False)
+    key = jax.random.PRNGKey(7)
+
+    plain = reconstruct_batch(model, params, sched, cond, sigmas, cfg, key,
+                              avg_seeds=4)
+    x0, std = reconstruct_batch(model, params, sched, cond, sigmas, cfg, key,
+                                avg_seeds=4, return_seed_std=True)
+    assert x0.shape == std.shape == (B, L)
+    np.testing.assert_allclose(x0, plain, rtol=1e-6)
+    assert std.min() >= 0 and std.mean() > 0
+
+    # amp_calib rescales aggregate and std by the SAME per-row factor:
+    # the relative scatter std/||x0|| is calibration-invariant
+    x0c, stdc = reconstruct_batch(model, params, sched, cond, sigmas, cfg,
+                                  key, avg_seeds=4, return_seed_std=True,
+                                  amp_calib="mf")
+    for i in range(B):
+        r = np.sqrt((std[i] ** 2).mean()) / np.sqrt((x0[i] ** 2).mean())
+        rc = np.sqrt((stdc[i] ** 2).mean()) / np.sqrt((x0c[i] ** 2).mean())
+        np.testing.assert_allclose(r, rc, rtol=1e-5)
+
+
 def test_reconstruct_batch_model_ensemble():
     """extra_models ensembling: members sample with the SAME key, so
     ensemble([A, A]) == single(A) exactly and ensemble([A, B]) equals the
