@@ -229,6 +229,16 @@ def eval_indices(
                 rho_r = M.matched_filter_snr(x0_raw, clean, P, p["fs"])
                 rho_i = M.matched_filter_snr(clean, clean, P, p["fs"])
                 row["mf_ratio"] = rho_r / rho_i if rho_i > 0 else float("nan")
+            # residual-whiteness diagnostics (whitened domain; deployable
+            # without clean — see metrics.residual_diagnostics)
+            band = None
+            if p.get("P_model_used") is not None:
+                Pm = np.asarray(p["P_model_used"], np.float64)
+                if len(Pm) == p["L"] // 2 + 1:
+                    band = Pm > 0
+            row.update(M.residual_diagnostics(
+                p["y_for_cond"], x0_white[j],
+                clean_white=p["clean_for_cond"], band_mask=band))
             rows.append(row)
     return rows
 
@@ -302,6 +312,15 @@ def aggregate_and_plot(args, rows: List[dict], labels: Dict[int, dict]) -> dict:
         "whiten_kind_used": getattr(args, "_whiten_kind_used", None),
         "sigma_mode": getattr(args, "sigma_mode", None),
     }
+    res_cols = [c for c in ("res_std_ratio", "res_clean_corr",
+                            "res_flatness") if c in df.columns]
+    if res_cols:
+        # residual-whiteness block (extension): 1.0 / 0.0 / 1.0 = perfect
+        summary["residuals"] = {
+            c: {"mean": float(df[c].mean(skipna=True)),
+                "median": float(df[c].median(skipna=True))}
+            for c in res_cols if df[c].notna().any()
+        }
     if "unc_rel" in df.columns and df["unc_rel"].notna().sum() >= 3:
         # Uncertainty calibration (extension; no reference counterpart):
         # does the seed-ensemble scatter PREDICT the actual error?  Rank

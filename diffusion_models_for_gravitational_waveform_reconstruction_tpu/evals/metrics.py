@@ -157,6 +157,67 @@ def merger_window_scores(recon_al: np.ndarray, clean_al: np.ndarray,
     }
 
 
+def residual_diagnostics(
+    y_white: np.ndarray,
+    x0_white: np.ndarray,
+    clean_white: Optional[np.ndarray] = None,
+    band_mask: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """Whiteness diagnostics of the residual r = y - x0 in the whitened
+    domain (extension; no reference counterpart).
+
+    A perfect reconstruction leaves r = the whitened NOISE realisation:
+    flat in-band spectrum, zero coherence with the clean signal.  Unlike
+    corr/mf_ratio these do not require the injected clean waveform, so
+    ``res_flatness`` is the deployable quality signal for real
+    measurements; the clean-referenced pair calibrates it on synthetic
+    evals.
+
+    - ``res_flatness``: mean in-band periodogram power of r in the upper
+      half-band over the lower half-band.  White residual -> ~1 (up to
+      the coloured-PSD x flat-weight ripple); missed signal piles up
+      along the chirp track (low band) -> < 1.
+    - ``res_std_ratio`` (needs clean): std(r) / std(y - clean).  Perfect
+      recon -> 1; residual signal -> > 1; reconstruction absorbing the
+      noise realisation (overfit to y) -> < 1.
+    - ``res_clean_corr`` (needs clean): |corr(r, clean_white)| — coherent
+      missed/excess signal in the residual.  Perfect recon -> ~0.
+
+    ``band_mask`` selects the rfft bins where the whitening weight is
+    nonzero (sub-``f_lower`` bins are band-limited to exactly zero by the
+    model-domain whitener — including them would fake a low-band deficit).
+    """
+    y = np.asarray(y_white, np.float64).ravel()
+    x0 = np.asarray(x0_white, np.float64).ravel()
+    L = min(len(y), len(x0))
+    r = y[:L] - x0[:L]
+    out: Dict[str, float] = {}
+
+    p = np.abs(np.fft.rfft(r)) ** 2
+    if band_mask is not None and len(band_mask) == len(p):
+        sel = np.asarray(band_mask, bool).copy()
+    else:
+        sel = np.ones(len(p), bool)
+    sel[0] = False                                  # DC carries the mean
+    idx = np.flatnonzero(sel)
+    if len(idx) >= 8:
+        half = len(idx) // 2
+        lo = float(p[idx[:half]].mean())
+        hi = float(p[idx[half:]].mean())
+        out["res_flatness"] = hi / lo if lo > 0 else float("nan")
+    else:
+        out["res_flatness"] = float("nan")
+
+    if clean_white is not None:
+        c = np.asarray(clean_white, np.float64).ravel()[:L]
+        n = y[:L] - c
+        dn = float(n.std())
+        out["res_std_ratio"] = (float(r.std()) / dn if dn > 0
+                                else float("nan"))
+        out["res_clean_corr"] = abs(corr(r, c))
+    return out
+
+
 def sweep_objective(m_strain: Optional[dict], m_white: Optional[dict]) -> float:
     """J = corr_strain + 0.5 corr_white - 0.1 nmae_sigma (ref
     ``sweep_infer.py:8-13``)."""

@@ -139,6 +139,12 @@ def test_grid_uncertainty_block(workdir, dataset, checkpoint):
     assert unc["unc_rel_mean"] > 0 and np.isfinite(unc["unc_rel_mean"])
     # rank correlation is a correlation: bounded
     assert -1.0 <= unc["spearman_unc_vs_err"] <= 1.0
+    # residual-whiteness block rides the same eval rows
+    res = s.get("residuals")
+    assert res is not None
+    for k in ("res_std_ratio", "res_clean_corr", "res_flatness"):
+        assert k in res and np.isfinite(res[k]["mean"])
+    assert res["res_clean_corr"]["mean"] <= 1.0
 
 
 def test_gen_fixed_and_random_modes(tmp_path):

@@ -156,3 +156,57 @@ def test_mf_amp_calibrate():
     # clip guard
     _, s_clip = mf_amp_calibrate(1e-6 * s_true, y)
     assert s_clip <= 4.0
+
+
+def test_residual_diagnostics_perfect_and_failure_modes():
+    """Residual whiteness: perfect recon -> std_ratio 1 / clean_corr 0 /
+    flatness ~1; zero recon -> coherent residual signal; recon==y -> the
+    noise was absorbed (std_ratio 0)."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.evals.metrics import (
+        residual_diagnostics,
+    )
+
+    rng = np.random.default_rng(1)
+    L = 4096
+    t = np.arange(L) / 4096.0
+    # low-band chirp-like signal (most power in the lower half-band)
+    sig = np.sin(2 * np.pi * (40 + 200 * t) * t) * np.hanning(L) * 8.0
+    noise = rng.normal(size=L)
+    y = sig + noise
+
+    d = residual_diagnostics(y, sig, clean_white=sig)
+    assert d["res_std_ratio"] == pytest.approx(1.0, abs=1e-12)
+    assert d["res_clean_corr"] < 0.05
+    assert 0.8 < d["res_flatness"] < 1.25          # white residual
+
+    d0 = residual_diagnostics(y, np.zeros(L), clean_white=sig)
+    assert d0["res_std_ratio"] > 2.0               # signal left behind
+    assert d0["res_clean_corr"] > 0.9
+    assert d0["res_flatness"] < 0.5                # low-band excess
+
+    dy = residual_diagnostics(y, y, clean_white=sig)
+    assert dy["res_std_ratio"] == 0.0
+
+
+def test_residual_diagnostics_band_mask():
+    """Out-of-band (zero-weight) bins are excluded: band-limited white
+    noise scores flat ONLY when the dead band is masked out."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.evals.metrics import (
+        residual_diagnostics,
+    )
+
+    rng = np.random.default_rng(2)
+    L = 4096
+    nb = L // 2 + 1
+    band = np.zeros(nb, bool)
+    band[800:] = True                              # dead low band, live rest
+    spec = np.zeros(nb, complex)
+    live = np.flatnonzero(band)
+    spec[live] = rng.normal(size=len(live)) + 1j * rng.normal(size=len(live))
+    r = np.fft.irfft(spec, L)
+    y = r                                          # residual IS the noise
+
+    d_mask = residual_diagnostics(y, np.zeros(L), band_mask=band)
+    assert 0.7 < d_mask["res_flatness"] < 1.4
+    d_full = residual_diagnostics(y, np.zeros(L))
+    assert d_full["res_flatness"] > 1.5            # dead low band fakes excess
