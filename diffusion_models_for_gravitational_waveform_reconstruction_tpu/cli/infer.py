@@ -272,6 +272,17 @@ def main(argv: Optional[List[str]] = None) -> None:
             "rel": float(np.sqrt(np.mean(spread_raw ** 2))
                          / (np.sqrt(np.mean(x0_raw ** 2)) + 1e-300)),
         }
+    # residual whiteness (works WITHOUT clean — the deployable quality
+    # signal on real measurements; see evals.metrics.residual_diagnostics)
+    band = None
+    if prep.get("P_model_used") is not None:
+        Pm = np.asarray(prep["P_model_used"], np.float64)
+        if len(Pm) == prep["L"] // 2 + 1:
+            band = Pm > 0
+    results["residuals"] = M.residual_diagnostics(
+        prep["y_for_cond"], x0_white,
+        clean_white=prep["clean_for_cond"], band_mask=band)
+
     if prep["clean_raw"] is not None:
         m_strain = M.score_last_window(x0_raw, prep["clean_raw"], fs,
                                        args.score_secs)

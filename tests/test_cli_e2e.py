@@ -335,6 +335,11 @@ def test_welch_whitening_path(tmp_path):
         m = json.load(fh)
     assert m["whiten_kind"] == "welch"
     assert np.isfinite(m["strain"]["corr_last"])
+    # residual-whiteness diagnostics ride every infer run (clean-referenced
+    # members present here because the dataset carries the clean waveform)
+    res = m["residuals"]
+    for k in ("res_flatness", "res_std_ratio", "res_clean_corr"):
+        assert k in res and np.isfinite(res[k])
 
 
 def test_train_whitening_auto_cascade(tmp_path):
