@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--amp-calib", default="mf", choices=["none", "mf"])
     p.add_argument("--no-ema", action="store_true",
                    help="Export raw (non-EMA) weights")
+    p.add_argument("--dp", type=int, default=1,
+                   help="Pod serving: shard the batch axis over a DP-device "
+                        "'data' mesh (GSPMD collectives baked into the "
+                        "artifact). The serving host must have exactly DP "
+                        "local devices of the target platform; batch-size "
+                        "must divide evenly.")
     p.add_argument("--device", default="cpu",
                    help="Process platform for the export itself. Lowering "
                         "is platform-parameterized (a CPU process emits "
@@ -68,10 +74,11 @@ def main(argv=None) -> int:
         sampler=args.sampler, steps=args.steps, ladder=args.ladder,
         cfg_scale=args.cfg_scale, start_t=args.start_t, eta=args.eta,
         avg_seeds=args.avg_seeds, avg_mode=args.avg_mode,
-        amp_calib=args.amp_calib, use_ema=not args.no_ema)
+        amp_calib=args.amp_calib, use_ema=not args.no_ema, dp=args.dp)
     k = contract["knobs"]
     print(f"[export] {args.output}: {contract['artifact_bytes'] / 1e6:.1f} MB"
-          f", platforms={contract['platforms']}, sampler={k['sampler']}"
+          f", platforms={contract['platforms']}, dp={contract['dp']}"
+          f", sampler={k['sampler']}"
           f"@{k['steps']} ladder={k['ladder']} avg_seeds={k['avg_seeds']}"
           f" amp_calib={k['amp_calib']}")
     if args.validate:

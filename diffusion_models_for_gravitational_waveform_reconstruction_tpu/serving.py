@@ -142,12 +142,20 @@ def export_sampler(ckpt_path: str, out_path: str, *, batch: int, length: int,
                    cfg_scale: Optional[float] = None,
                    start_t: Optional[int] = None, eta: float = 0.0,
                    avg_seeds: int = 8, avg_mode: str = "mean",
-                   amp_calib: str = "mf", use_ema: bool = True) -> dict:
+                   amp_calib: str = "mf", use_ema: bool = True,
+                   dp: int = 1) -> dict:
     """Export a checkpoint's deployment sampler to ``out_path`` (StableHLO)
     plus a ``<out_path>.json`` sidecar describing the calling convention.
 
     Returns the sidecar contract dict.  Weights are baked into the program
     as constants — the artifact is fully self-contained.
+
+    ``dp > 1`` exports a POD-SERVING artifact: the batch axis is sharded
+    over a ``dp``-device ``data`` mesh (GSPMD inserts the collectives), so
+    one artifact drives a whole TPU slice with per-chip throughput intact.
+    Lowering uses an ``AbstractMesh`` — export runs on a single-device
+    process; the serving host must have ``dp`` local devices of the target
+    platform (``load_exported`` builds the mesh and shards automatically).
     """
     from jax import export as jexport
 
@@ -163,12 +171,29 @@ def export_sampler(ckpt_path: str, out_path: str, *, batch: int, length: int,
     def served(cond_stack, sigmas, seed):
         return fn(params, cond_stack, sigmas, seed)
 
+    dp = max(1, int(dp))
+    if batch % dp != 0:
+        raise ValueError(f"batch {batch} not divisible by dp {dp}")
+    jit_kwargs = {}
+    spec_shardings = (None, None, None)
+    if dp > 1:
+        from jax.sharding import (AbstractMesh, NamedSharding,
+                                  PartitionSpec)
+
+        mesh = AbstractMesh((dp,), ("data",))
+        s_data = NamedSharding(mesh, PartitionSpec("data"))
+        s_rep = NamedSharding(mesh, PartitionSpec())
+        spec_shardings = (s_data, s_data, s_rep)
+        jit_kwargs = dict(in_shardings=spec_shardings,
+                          out_shardings=s_data)
     specs = (
-        jax.ShapeDtypeStruct((batch, cond_in_ch, length), jnp.float32),
-        jax.ShapeDtypeStruct((batch,), jnp.float32),
-        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((batch, cond_in_ch, length), jnp.float32,
+                             sharding=spec_shardings[0]),
+        jax.ShapeDtypeStruct((batch,), jnp.float32,
+                             sharding=spec_shardings[1]),
+        jax.ShapeDtypeStruct((), jnp.int32, sharding=spec_shardings[2]),
     )
-    exported = jexport.export(jax.jit(served),
+    exported = jexport.export(jax.jit(served, **jit_kwargs),
                               platforms=list(platforms))(*specs)
     blob = exported.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
@@ -186,6 +211,10 @@ def export_sampler(ckpt_path: str, out_path: str, *, batch: int, length: int,
             "output": {"x0_white": [batch, length, "float32"]},
         },
         "platforms": list(platforms),
+        # devices the artifact was lowered for: 1 = single-chip; >1 = the
+        # batch axis is sharded over a dp-device 'data' mesh and the host
+        # must present exactly this many local devices
+        "dp": dp,
         "checkpoint": os.path.abspath(ckpt_path),
         "ema_weights": bool(use_ema),
         "knobs": {
@@ -269,10 +298,35 @@ def load_exported(path: str):
                 f"serving artifact {path} has contract_version {got}; this "
                 f"host speaks {_CONTRACT_VERSION} — re-export the artifact "
                 f"or upgrade the host")
-    dev = _artifact_device(exported.platforms)
+    n_dev = int(exported.nr_devices)
+    if n_dev <= 1:
+        dev = _artifact_device(exported.platforms)
 
-    def call(*args):
-        return exported.call(*(jax.device_put(a, dev) for a in args))
+        def call(*args):
+            return exported.call(*(jax.device_put(a, dev) for a in args))
+
+        return call, contract
+
+    # pod-serving artifact: rebuild the dp-device 'data' mesh on the host
+    # and shard (cond_stack, sigmas) over it, seed replicated — mirroring
+    # the shardings baked in at export time.
+    import numpy as _np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    dev = _artifact_device(exported.platforms)
+    devs = jax.devices(dev.platform)
+    if len(devs) < n_dev:
+        raise RuntimeError(
+            f"pod artifact {path} was lowered for {n_dev} devices; this "
+            f"host has {len(devs)} local {dev.platform} device(s)")
+    mesh = Mesh(_np.array(devs[:n_dev]), ("data",))
+    s_data = NamedSharding(mesh, PartitionSpec("data"))
+    s_rep = NamedSharding(mesh, PartitionSpec())
+
+    def call(cond_stack, sigmas, seed):
+        return exported.call(jax.device_put(cond_stack, s_data),
+                             jax.device_put(sigmas, s_data),
+                             jax.device_put(seed, s_rep))
 
     return call, contract
 
