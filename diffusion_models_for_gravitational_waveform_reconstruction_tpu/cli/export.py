@@ -40,7 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="None = top of chain (T-1; serving samples from noise)")
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--avg-seeds", type=int, default=8)
-    p.add_argument("--avg-mode", default="mean", choices=["mean", "median"])
+    p.add_argument("--avg-mode", default="mean",
+                   choices=["mean", "median", "mf"])
     p.add_argument("--amp-calib", default="mf", choices=["none", "mf"])
     p.add_argument("--no-ema", action="store_true",
                    help="Export raw (non-EMA) weights")

@@ -38,9 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--avg-seeds", type=int, default=1,
                    help="Average N independent-noise reconstructions per "
                         "sample (batched into one scan).")
-    s.add_argument("--avg-mode", choices=["mean", "median"], default="mean",
-                   help="Seed aggregate: 'median' is outlier-robust "
-                        "(per-seed recons are phase-coherent).")
+    s.add_argument("--avg-mode", choices=["mean", "median", "mf"],
+                   default="mean",
+                   help="Seed aggregate: 'median' is outlier-robust; 'mf' "
+                        "weights seeds by matched-filter data consistency "
+                        "with the measurement (ops.sampling."
+                        "aggregate_seeds).")
     s.add_argument("--amp-calib", choices=["none", "mf"], default="none",
                    help="'mf': least-squares matched-filter amplitude "
                         "rescaling of each whitened recon against its "

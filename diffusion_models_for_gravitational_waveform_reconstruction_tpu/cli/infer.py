@@ -82,9 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(one batched scan; sampler noise averages down "
                         "~1/sqrt(N) while the conditioned signal is "
                         "coherent). 1 = off.")
-    s.add_argument("--avg-mode", choices=["mean", "median"], default="mean",
-                   help="Seed aggregate: 'median' is outlier-robust "
-                        "(per-seed recons are phase-coherent).")
+    s.add_argument("--avg-mode", choices=["mean", "median", "mf"],
+                   default="mean",
+                   help="Seed aggregate: 'median' is outlier-robust; 'mf' "
+                        "weights seeds by matched-filter data consistency "
+                        "with the measurement (ops.sampling."
+                        "aggregate_seeds).")
     s.add_argument("--amp-calib", choices=["none", "mf"], default="none",
                    help="'mf': rescale the whitened recon by the least-"
                         "squares matched-filter amplitude against the "

@@ -36,9 +36,9 @@ from .data.pipeline import (
     whiten_welch_np,
 )
 from .models.unet import UNet1D
-from .ops.sampling import (SamplerConfig, ddim_sample, ddpm_sample,
-                           dpmpp_sample, one_step_proxy, refine_only,
-                           sample_with_refinement)
+from .ops.sampling import (SamplerConfig, aggregate_seeds, ddim_sample,
+                           ddpm_sample, dpmpp_sample, one_step_proxy,
+                           refine_only, sample_with_refinement)
 from .ops.schedules import (
     make_schedule,
     snr_from_alpha_bar,
@@ -524,13 +524,12 @@ def reconstruct(
     if S > 1:
         if return_all_seeds:
             seeds_white = (np.asarray(x0_norm)[:, 0, :] * prep["sigma"])
-        # 'median' is the outlier-robust aggregate: per-seed reconstructions
-        # are phase-coherent (measured lag spread <=1 sample, RESULTS.md
-        # "Seed-lag jitter"), so the elementwise median rejects amplitude
-        # excursions of individual trajectories without blurring
-        x0_norm = (jnp.median(x0_norm, axis=0, keepdims=True)
-                   if avg_mode == "median"
-                   else x0_norm.mean(axis=0, keepdims=True))
+        # aggregation modes (mean / median / mf-weighted) documented on
+        # ops.sampling.aggregate_seeds; x0_norm here is (S, 1, L) with the
+        # seed axis as batch, so lift to (S, B=1, 1, L) and drop back
+        y0 = jnp.asarray(prep["cond_stack"]).reshape(
+            -1, x0_norm.shape[-1])[0][None, :]               # (1, L)
+        x0_norm = aggregate_seeds(x0_norm[:, None], avg_mode, y_norm=y0)
 
     x0_white = np.asarray(x0_norm).ravel() * prep["sigma"]
     if amp_calib == "mf":
@@ -623,9 +622,9 @@ def reconstruct_batch(
         if return_seed_std:
             std_white = (np.asarray(per_seed.std(axis=0))[:, 0, :]
                          * np.asarray(sigmas)[:, None])
-        # elementwise median across seeds: robust aggregate (see reconstruct)
-        x0_norm = (jnp.median(per_seed, axis=0) if avg_mode == "median"
-                   else per_seed.mean(axis=0))
+        x0_norm = aggregate_seeds(
+            per_seed, avg_mode,
+            y_norm=jnp.asarray(cond_stacks)[:, 0, :])
     x0_white = np.asarray(x0_norm)[:, 0, :] * np.asarray(sigmas)[:, None]
     if amp_calib == "mf":
         y_white = (np.asarray(cond_stacks)[:, 0, :]

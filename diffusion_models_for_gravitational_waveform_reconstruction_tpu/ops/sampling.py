@@ -267,6 +267,49 @@ def sample_with_refinement(sample_fn, model_fn, params, schedule, cond_stack,
                        k_ref, cfg, x0, x0_std_est=x0_std_est)
 
 
+def aggregate_seeds(per_seed: jnp.ndarray, avg_mode: str = "mean",
+                    y_norm: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Aggregate S independent-seed reconstructions into one estimate.
+
+    ``per_seed`` is (S, B, C, L) in the normalized whitened domain;
+    returns (B, C, L).  Extension over the reference's single-draw sampler
+    (``inference.py:374-514``); modes:
+
+    - ``mean``: plain average — residual sampler noise drops ~1/sqrt(S).
+    - ``median``: elementwise median — outlier-robust (per-seed draws are
+      phase-coherent, measured lag spread <=1 sample, RESULTS.md).
+    - ``mf``: data-consistency weighted mean.  Each seed is scored by its
+      matched-filter overlap with the measurement,
+      ``rho_s = <y, x_s> / ||x_s||`` (a plain dot product — the whitened
+      domain makes the noise-weighted inner product Euclidean).  In unit
+      Gaussian noise, ``rho`` is monotone in the per-seed least-squares
+      data-consistency evidence (residual energy after optimal amplitude
+      is ``||y||^2 - rho^2``), so seeds whose trajectories wandered off
+      the measurement get down-weighted.  Weights are a softmax of rho
+      standardised by the CROSS-SEED std per measurement — scale-free
+      (no absolute epsilons, repo numerical rule) and smooth: when seeds
+      agree (std -> 0) it degrades to the plain mean, and it never
+      hard-selects a single draw (which would reward noise-fitting at
+      low SNR).  Requires ``y_norm`` (B, L): measurement channel of the
+      cond stack.
+    """
+    if avg_mode == "median":
+        return jnp.median(per_seed, axis=0)
+    if avg_mode == "mf":
+        if y_norm is None:
+            raise ValueError("avg_mode='mf' needs y_norm (B, L)")
+        xs = per_seed[:, :, 0, :]                             # (S, B, L)
+        num = jnp.sum(xs * y_norm[None, :, :], axis=-1)
+        den = jnp.sqrt(jnp.sum(xs * xs, axis=-1))
+        rho = num / jnp.where(den > 0, den, 1.0)              # (S, B)
+        tau = jnp.std(rho, axis=0, keepdims=True)             # (1, B)
+        z = (rho - jnp.max(rho, axis=0, keepdims=True)) / jnp.where(
+            tau > 0, tau, 1.0)
+        w = jax.nn.softmax(z, axis=0)[:, :, None, None]       # (S, B, 1, 1)
+        return jnp.sum(per_seed * w, axis=0)
+    return per_seed.mean(axis=0)
+
+
 def ddim_sample(
     model_fn: ModelFn,
     params,

@@ -43,6 +43,7 @@ import numpy as np
 from .inference import apply_distilled_defaults, load_model, resolve_start_t
 from .ops.sampling import (
     SamplerConfig,
+    aggregate_seeds,
     ddim_sample,
     ddpm_sample,
     dpmpp_sample,
@@ -119,8 +120,7 @@ def build_serving_fn(model, schedule, cfg: SamplerConfig, *,
                                     cond_t, key, cfg)
         if S > 1:
             per_seed = x0.reshape(S, B, *x0.shape[1:])
-            x0 = (jnp.median(per_seed, axis=0) if avg_mode == "median"
-                  else per_seed.mean(axis=0))
+            x0 = aggregate_seeds(per_seed, avg_mode, y_norm=cond[:, 0, :])
         sig = jnp.asarray(sigmas, jnp.float32).reshape(-1)
         x0w = x0[:, 0, :] * sig[:, None]
         if amp_calib == "mf":

@@ -560,3 +560,83 @@ def test_reconstruct_batch_refinement_runs(sched):
     assert w0.shape == w1.shape == (3, 64)
     assert np.all(np.isfinite(w1))
     assert not np.allclose(w0, w1)
+
+
+def test_aggregate_seeds_modes():
+    """aggregate_seeds: mean/median reproduce the direct computations; 'mf'
+    up-weights the data-consistent seed, degrades to the mean when seeds
+    agree, and stays jit-traceable (it runs inside lowered serving fns)."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.sampling import (
+        aggregate_seeds,
+    )
+
+    rng = np.random.default_rng(7)
+    S, B, L = 4, 3, 64
+    per_seed = jnp.asarray(rng.normal(size=(S, B, 1, L)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+
+    np.testing.assert_allclose(aggregate_seeds(per_seed, "mean"),
+                               per_seed.mean(axis=0), rtol=1e-6)
+    np.testing.assert_allclose(aggregate_seeds(per_seed, "median"),
+                               jnp.median(per_seed, axis=0), rtol=1e-6)
+
+    # identical seeds -> every mode is the common value (tau=0 fall-through)
+    same = jnp.tile(per_seed[:1], (S, 1, 1, 1))
+    for mode in ("mean", "median", "mf"):
+        np.testing.assert_allclose(aggregate_seeds(same, mode, y_norm=y),
+                                   per_seed[0], rtol=1e-5)
+
+    # one seed IS the measurement's signal, the others are independent junk:
+    # the mf aggregate must sit closer to the signal than the plain mean
+    sig = jnp.asarray(rng.normal(size=(B, 1, L)).astype(np.float32))
+    junk = jnp.asarray(rng.normal(size=(S - 1, B, 1, L)).astype(np.float32))
+    seeds = jnp.concatenate([sig[None], junk], axis=0)
+    y_meas = sig[:, 0, :] + 0.1 * jnp.asarray(
+        rng.normal(size=(B, L)).astype(np.float32))
+    agg_mf = aggregate_seeds(seeds, "mf", y_norm=y_meas)
+    agg_mean = aggregate_seeds(seeds, "mean")
+    err_mf = float(jnp.abs(agg_mf - sig).mean())
+    err_mean = float(jnp.abs(agg_mean - sig).mean())
+    assert err_mf < err_mean, (err_mf, err_mean)
+
+    # jit-traceable (serving lowers it into the StableHLO artifact)
+    jitted = jax.jit(lambda p, yy: aggregate_seeds(p, "mf", y_norm=yy))
+    np.testing.assert_allclose(jitted(seeds, y_meas), agg_mf, rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        aggregate_seeds(per_seed, "mf")  # y_norm is required
+
+
+def test_reconstruct_batch_avg_mode_mf_end_to_end():
+    """avg_mode='mf' through reconstruct_batch: shape-correct, finite, equals
+    the plain mean at S=1, and is a genuinely different aggregate at S>1."""
+    import flax.linen as nn
+
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.inference import (
+        reconstruct_batch,
+    )
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x, t):
+            return 0.5 * x[:, :1, :]
+
+    B, L = 3, 128
+    model = Toy()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, L)), jnp.zeros((1,), jnp.int32))
+    sched = make_schedule(50, "cosine")
+    cond = np.random.default_rng(1).normal(size=(B, 2, L)).astype(np.float32)
+    sigmas = np.ones((B,), np.float32)
+    cfg = SamplerConfig(steps=4, eta=1.0, start_t=49, init_mode="noise",
+                        pred_type="eps", use_selfcond=False, cfg_scale=1.0)
+
+    def run(S, mode):
+        return reconstruct_batch(model, params, sched, cond, sigmas, cfg,
+                                 jax.random.PRNGKey(3), avg_seeds=S,
+                                 avg_mode=mode)
+
+    np.testing.assert_allclose(run(1, "mf"), run(1, "mean"), rtol=1e-6)
+    out = run(8, "mf")
+    assert out.shape == (B, L) and np.isfinite(out).all()
+    assert np.abs(out - run(8, "mean")).mean() > 0
