@@ -40,6 +40,17 @@ if [ ! -f "$OUT/summary.json" ]; then
 print('[chain3] ep200 corr', s.get('corr_macro_mean'), 'mf', s.get('mf_ratio_macro_mean'))"
 fi
 
+# seed-aggregation A/B at ep200: mf-weighted averaging vs the plain mean
+# (same knobs otherwise — isolates the aggregate)
+OUT=runs/flagship/grid_md_ep200_mfavg
+if [ ! -f "$OUT/summary.json" ]; then
+  echo "[chain3] grid eval ep200 avg-mode=mf $(date -u +%H:%M:%S)"
+  $PY -m $PKG.cli.grid --input-h5 $EVAL --model "$FINAL" --outdir "$OUT" \
+    $KNOBS --avg-mode mf > /tmp/grid_md_ep200_mfavg.log 2>&1
+  $PY -c "import json; s=json.load(open('$OUT/summary.json')); \
+print('[chain3] ep200 mf-avg corr', s.get('corr_macro_mean'), 'mf', s.get('mf_ratio_macro_mean'))"
+fi
+
 # knob re-derivation on the current flagship (validation gate on by default)
 SW=runs/flagship/sweep_md_ep200
 if [ ! -f "$SW/best_cmd.txt" ]; then
