@@ -337,7 +337,7 @@ def pn_duration(m1, m2, chi1, chi2, f_lower: float = 20.0):
     return tau_of_v(v_low, M_s, eta, beta, sigma)
 
 
-@partial(jax.jit, static_argnames=("n", "fs", "ringdown"))
+@partial(jax.jit, static_argnames=("n", "fs", "ringdown", "f_taper_frac"))
 def pn_chirp(
     m1: jnp.ndarray,
     m2: jnp.ndarray,
@@ -355,6 +355,7 @@ def pn_chirp(
     t_post: float = 0.05,
     ringdown_damp: float = 12.0,
     ringdown: str = "qnm",
+    f_taper_frac: float = 1.0,
 ) -> jnp.ndarray:
     """Fixed-length detector-frame 3.5PN aligned-spin chirp.
 
@@ -441,10 +442,26 @@ def pn_chirp(
 
     h = jnp.where(tau > tau_term, h_insp, h_rd)
 
-    # half-Hann turn-on at the f_lower crossing (same as newtonian_chirp)
+    # half-Hann turn-on.  Legacy (f_taper_frac=1.0, corpus-domain default):
+    # the ramp STARTS at the f_lower crossing and rises over 0.25 s, so the
+    # first quarter-second of IN-BAND signal is amplitude-distorted — the
+    # dominant term in the measured full-band TaylorF2 mismatch
+    # (RESULTS.md fidelity table).  With f_taper_frac < 1 the ramp spans
+    # [t(f_taper_frac*f_lower), t(f_lower)] and COMPLETES at the band edge:
+    # the distortion sits where the whitening weight is ~0 and the in-band
+    # waveform is untouched.  Kept opt-in so already-generated corpora stay
+    # domain-consistent (train and eval must share the turn-on).
     v_low = jnp.minimum(jnp.cbrt(jnp.pi * M_s * f_lower), 0.98 * v_term)
     tau_start = tau_of_v(v_low, M_s, eta, beta, sigma)
     t_start = t_c - tau_start
-    ramp = jnp.clip((t - t_start) / 0.25, 0.0, 1.0)
+    if f_taper_frac < 1.0:
+        v_tap = jnp.minimum(
+            jnp.cbrt(jnp.pi * M_s * (f_taper_frac * f_lower)), 0.98 * v_term)
+        tau_tap = tau_of_v(v_tap, M_s, eta, beta, sigma)
+        t_tap = t_c - tau_tap                       # earlier than t_start
+        ramp = jnp.clip(
+            (t - t_tap) / jnp.maximum(t_start - t_tap, dt), 0.0, 1.0)
+    else:
+        ramp = jnp.clip((t - t_start) / 0.25, 0.0, 1.0)
     window = 0.5 - 0.5 * jnp.cos(jnp.pi * ramp)
     return (h * window).astype(jnp.float32)

@@ -366,3 +366,53 @@ def test_invert_tau_matches_forward_tau():
     tau = pn.tau_of_v(v_true, M_s, eta, beta, sigma)
     v_rec = pn.invert_tau(tau, M_s, eta, beta, sigma, v_min, v_max)
     assert float(jnp.max(jnp.abs(v_rec - v_true))) < 1e-5
+
+
+def test_below_band_taper_preserves_in_band_signal():
+    """f_taper_frac < 1 moves the half-Hann turn-on below the analysis band:
+    the waveform is bit-identical to the legacy one once the legacy ramp has
+    completed, is UNdistorted at the f_lower crossing (window already 1),
+    and still starts from zero amplitude."""
+    fs, n, fl = 4096, 1 << 16, 20.0
+    kw = dict(n=n, fs=fs, distance=410.0, f_lower=fl, fplus=1.0, fcross=0.0)
+    h_leg = np.asarray(pn.pn_chirp(
+        jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(CHI1),
+        jnp.asarray(CHI2), **kw), np.float64)
+    h_tap = np.asarray(pn.pn_chirp(
+        jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(CHI1),
+        jnp.asarray(CHI2), f_taper_frac=0.85, **kw), np.float64)
+
+    # locate the f_lower crossing time like the module does
+    M_s, eta = pn.mass_params(M1, M2)
+    beta, sigma = pn.spin_phasing_params(M1, M2, CHI1, CHI2)
+    dt = 1.0 / fs
+    t_c = (n - 1) * dt - 0.05
+    v_low = float(jnp.cbrt(jnp.pi * M_s * fl))
+    t_start = t_c - float(pn.tau_of_v(v_low, M_s, eta, beta, sigma))
+    i_start = int(t_start / dt)
+
+    # both windows are exactly 1 after the legacy 0.25 s ramp completes
+    i_done = int((t_start + 0.25) / dt) + 2
+    np.testing.assert_array_equal(h_tap[i_done:], h_leg[i_done:])
+
+    # at the band edge the new taper is already done: the tapered waveform
+    # matches the legacy waveform's UNwindowed envelope there, i.e. it is
+    # strictly larger than the legacy half-suppressed samples just after
+    # the crossing (legacy window < 0.1 in the first 10% of its ramp)
+    seg = slice(i_start, i_start + int(0.02 / dt))
+    rms_tap = np.sqrt(np.mean(h_tap[seg] ** 2))
+    rms_leg = np.sqrt(np.mean(h_leg[seg] ** 2))
+    assert rms_tap > 3.0 * rms_leg, (rms_tap, rms_leg)
+
+    # the turn-on still reaches zero before the taper-start frequency
+    v_tap = float(jnp.cbrt(jnp.pi * M_s * (0.85 * fl)))
+    t_tap = t_c - float(pn.tau_of_v(v_tap, M_s, eta, beta, sigma))
+    i_tap = int(t_tap / dt) - 2
+    assert i_tap > 0, "segment must contain the taper start"
+    assert np.all(h_tap[:i_tap] == 0.0)
+
+    # default is the legacy ramp (corpus-domain no-op guarantee)
+    h_def = np.asarray(pn.pn_chirp(
+        jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(CHI1),
+        jnp.asarray(CHI2), **kw), np.float64)
+    np.testing.assert_array_equal(h_def, h_leg)

@@ -110,6 +110,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="runs/flagship/pn_fidelity.json")
     ap.add_argument("--fs", type=float, default=4096.0)
     ap.add_argument("--f-lower", type=float, default=20.0)
+    ap.add_argument("--f-taper-frac", type=float, default=1.0,
+                    help="< 1: half-Hann turn-on completes AT the f_lower "
+                         "crossing (taper below band) instead of ramping "
+                         "0.25 s into the band (pn.pn_chirp).")
     args = ap.parse_args(argv)
 
     fs, fl = args.fs, args.f_lower
@@ -124,13 +128,18 @@ def main(argv=None) -> int:
             f_term = float(pn.kerr_isco_f_gw(
                 m1, m2, pn.chi_eff(m1, m2, chi, chi)))
             f_hi = 0.85 * f_term
-            dur = float(pn.pn_duration(m1, m2, chi, chi, f_lower=fl))
+            # size the segment from the TAPER-START frequency so a
+            # below-band turn-on (f_taper_frac < 1) is fully contained —
+            # tau ~ f^{-8/3}, so it starts noticeably earlier
+            dur = float(pn.pn_duration(
+                m1, m2, chi, chi, f_lower=args.f_taper_frac * fl))
             n = 1 << int(np.ceil(np.log2((dur + 1.0) * fs)))
             h = np.asarray(pn.pn_chirp(
                 jnp.asarray(float(m1)), jnp.asarray(float(m2)),
                 jnp.asarray(float(chi)), jnp.asarray(float(chi)),
                 n=n, fs=int(fs), distance=410.0, f_lower=fl,
-                fplus=1.0, fcross=0.0), np.float64)
+                fplus=1.0, fcross=0.0,
+                f_taper_frac=args.f_taper_frac), np.float64)
             match = weighted_match(h, fs, m1, m2, chi, chi, 410.0,
                                    fl + 2.0, f_hi)
             # inspiral-core band: away from both the half-Hann turn-on and
@@ -155,6 +164,7 @@ def main(argv=None) -> int:
         "pycbc_status": "not installed; pip download fails (no egress); "
                         "reference repo ships no waveform fixtures — "
                         "SEOBNRv4 comparison impossible in this environment",
+        "f_taper_frac": args.f_taper_frac,
         "rows": rows,
         "mismatch_max": max(mm), "mismatch_median": float(np.median(mm)),
     }
