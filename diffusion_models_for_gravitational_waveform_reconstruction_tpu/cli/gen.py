@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PN-engine post-inspiral model: 'qnm' = Kerr-remnant "
                         "quasi-normal-mode ringdown (NR-fit final mass/spin); "
                         "'isco' = legacy damped sinusoid at termination.")
+    g.add_argument("--f-taper-frac", type=float, default=1.0,
+                   help="< 1: half-Hann turn-on spans [f_taper_frac*f_lower, "
+                        "f_lower] — completes at the band edge instead of "
+                        "ramping 0.25 s into the band (PN engine; halves the "
+                        "worst-case TaylorF2 mismatch). Part of the data "
+                        "domain: train and eval must match.")
     g.add_argument("--approximant", choices=["pn", "newtonian"], default="pn",
                    help="JAX-engine waveform model: 'pn' = 3.5PN aligned-"
                         "spin phasing with Kerr-ISCO termination (spins "
@@ -300,12 +306,17 @@ def generate_jax(specs: List[dict], args) -> Dict[int, dict]:
         # 25-48 Msun; aligned +0.8 spin lengthens back past it) — bucket on
         # the actual tau, one vectorized call
         from ..data.pn import pn_duration
+        # with a below-band turn-on the segment must also contain the taper
+        # region [f_taper_frac*f_lower, f_lower) — size buckets from the
+        # taper-start frequency (tau ~ f^{-8/3})
+        taper_frac = float(getattr(args, "f_taper_frac", 1.0))
+        f_size = min(taper_frac, 1.0) * args.f_lower
         durs = np.asarray(pn_duration(
             jnp.asarray([s["m1"] for s in specs]),
             jnp.asarray([s["m2"] for s in specs]),
             jnp.asarray([s["s1"] for s in specs]),
             jnp.asarray([s["s2"] for s in specs]),
-            args.f_lower))
+            f_size))
         for i, d in enumerate(durs):
             by_len.setdefault(padded_pow2_len(float(d), fs), []).append(i)
     else:
@@ -318,7 +329,9 @@ def generate_jax(specs: List[dict], args) -> Dict[int, dict]:
     for n, idxs in sorted(by_len.items()):
         cfg = SynthConfig(n=n, fs=fs, f_lower=args.f_lower,
                           distance=args.distance, engine=approximant,
-                          ringdown=getattr(args, "ringdown", "qnm"))
+                          ringdown=getattr(args, "ringdown", "qnm"),
+                          f_taper_frac=float(
+                              getattr(args, "f_taper_frac", 1.0)))
         print(f"[gen] bucket n={n} ({n / fs:.2f}s): {len(idxs)} samples")
         for c0 in range(0, len(idxs), args.chunk):
             chunk = idxs[c0:c0 + args.chunk]

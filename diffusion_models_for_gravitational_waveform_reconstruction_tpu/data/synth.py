@@ -314,6 +314,11 @@ class SynthConfig:
     # quasi-normal-mode ringdown with NR-fit final mass/spin (pn.pn_chirp);
     # "isco" = legacy constant-frequency damped sinusoid.
     ringdown: str = "qnm"
+    # < 1: the half-Hann turn-on completes AT the f_lower crossing instead
+    # of ramping 0.25 s into the band (pn engine only; see pn.pn_chirp —
+    # halves the worst-case TaylorF2 mismatch).  Train and eval corpora
+    # must share this value: it is part of the data domain.
+    f_taper_frac: float = 1.0
 
 
 def generate_sample(
@@ -348,6 +353,7 @@ def generate_sample(
         h = _pn.pn_chirp(
             m1, m2, spin1z, spin2z, n=c.n, fs=c.fs, distance=c.distance,
             f_lower=c.f_lower, fplus=fp, fcross=fx, ringdown=c.ringdown,
+            f_taper_frac=c.f_taper_frac,
         )
     elif c.engine == "newtonian":
         h = newtonian_chirp(
