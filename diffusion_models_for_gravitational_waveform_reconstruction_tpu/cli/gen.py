@@ -403,6 +403,18 @@ def generate_pycbc(specs: List[dict], args) -> Dict[int, dict]:
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
+    taper = float(getattr(args, "f_taper_frac", 1.0))
+    if taper != 1.0 and not (args.engine == "jax"
+                             and args.approximant == "pn"):
+        # only the PN engine consumes SynthConfig.f_taper_frac — erroring
+        # beats a corpus the user believes carries the band-edge taper
+        raise SystemExit(
+            "--f-taper-frac < 1 is only honoured by --engine jax "
+            f"--approximant pn (got engine={args.engine}, "
+            f"approximant={args.approximant})")
+    if taper != 1.0 and not 0.5 < taper <= 1.0:
+        raise SystemExit(
+            f"--f-taper-frac must be in (0.5, 1.0], got {taper}")
     from ..utils.platform import maybe_force_platform
     maybe_force_platform(args.device)
     rng = np.random.default_rng(args.seed)

@@ -381,6 +381,12 @@ def pn_chirp(
       termination frequency with ad-hoc decay ``ringdown_damp`` e-folds per
       angular cycle (round-3 behavior, kept for reproducibility).
     """
+    # <= 0.5 would put the taper start below invert_tau's bracket floor
+    # (v_min at 0.5*f_lower), silently pinning the below-band frequency;
+    # <= 0 makes the segment-length estimate diverge (tau ~ f^{-8/3}).
+    if not 0.5 < f_taper_frac <= 1.0:
+        raise ValueError(
+            f"f_taper_frac must be in (0.5, 1.0], got {f_taper_frac}")
     dt = 1.0 / fs
     M_s, eta = mass_params(m1, m2)
     mc_s = jnp.power(eta, 0.6) * M_s

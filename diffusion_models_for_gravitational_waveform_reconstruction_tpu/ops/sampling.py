@@ -287,12 +287,21 @@ def aggregate_seeds(per_seed: jnp.ndarray, avg_mode: str = "mean",
       is ``||y||^2 - rho^2``), so seeds whose trajectories wandered off
       the measurement get down-weighted.  Weights are a softmax of rho
       standardised by the CROSS-SEED std per measurement — scale-free
-      (no absolute epsilons, repo numerical rule) and smooth: when seeds
-      agree (std -> 0) it degrades to the plain mean, and it never
-      hard-selects a single draw (which would reward noise-fitting at
-      low SNR).  Requires ``y_norm`` (B, L): measurement channel of the
-      cond stack.
+      (no absolute epsilons, repo numerical rule): at exactly std == 0
+      it degrades to the plain mean, and it never hard-selects a single
+      draw (which would reward noise-fitting at low SNR).  Note the
+      standardisation makes the weights depend only on the rho
+      *z-scores*: at S=2 any nonzero spread yields the fixed weights
+      softmax([0, -2]) ~ (0.88, 0.12) regardless of how small
+      the spread is in absolute matched-filter units.  Numerically
+      harmless (near-identical seeds give a near-identical weighted
+      mean), but the transition to the uniform mean is a step at
+      std == 0, not a smooth blend.  Requires ``y_norm`` (B, L):
+      measurement channel of the cond stack.
     """
+    if avg_mode not in ("mean", "median", "mf"):
+        raise ValueError(
+            f"unknown avg_mode {avg_mode!r}: expected 'mean', 'median' or 'mf'")
     if avg_mode == "median":
         return jnp.median(per_seed, axis=0)
     if avg_mode == "mf":

@@ -416,3 +416,16 @@ def test_below_band_taper_preserves_in_band_signal():
         jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(CHI1),
         jnp.asarray(CHI2), **kw), np.float64)
     np.testing.assert_array_equal(h_def, h_leg)
+
+
+def test_f_taper_frac_range_validated():
+    """ADVICE r4: f_taper_frac <= 0.5 would pin the below-band frequency at
+    invert_tau's bracket floor (silent distortion) and <= 0 diverges the
+    segment-length estimate — pn_chirp must reject the whole range."""
+    import pytest
+    kw = dict(n=1 << 12, fs=4096, distance=410.0, f_lower=20.0)
+    for bad in (0.5, 0.0, -0.1, 1.2):
+        with pytest.raises(ValueError, match="f_taper_frac"):
+            pn.pn_chirp(jnp.asarray(M1), jnp.asarray(M2),
+                        jnp.asarray(CHI1), jnp.asarray(CHI2),
+                        f_taper_frac=bad, **kw)

@@ -640,3 +640,16 @@ def test_reconstruct_batch_avg_mode_mf_end_to_end():
     out = run(8, "mf")
     assert out.shape == (B, L) and np.isfinite(out).all()
     assert np.abs(out - run(8, "mean")).mean() > 0
+
+
+def test_aggregate_seeds_rejects_unknown_mode():
+    """ADVICE r4: a typo'd avg_mode must raise, not silently fall through
+    to the plain mean (the old behavior hid --avg-mode misspellings)."""
+    import pytest
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.ops.sampling import (
+        aggregate_seeds,
+    )
+
+    per_seed = jnp.zeros((2, 1, 1, 8), jnp.float32)
+    with pytest.raises(ValueError, match="avg_mode"):
+        aggregate_seeds(per_seed, "meen")
