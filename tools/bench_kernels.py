@@ -198,13 +198,55 @@ def bench_unet():
                           "fwd_per_sec": round(1.0 / dt, 1)}))
 
 
+def bench_hbm_stream():
+    """Pure-HBM-stream microbenchmark (VERDICT r4 item 8): measure the
+    bandwidth this chip actually DELIVERS, so bench.py's `hbm_bw_util`
+    (whose numerator is XLA's bytes-accessed upper bound) gets a measured
+    denominator.  A saxpy over a buffer far larger than VMEM is compute-
+    trivial and streams read+write HBM every iteration of an on-device
+    fori_loop; K iterations amortise the single forced fetch, and the
+    loop-carried dependence serialises them.  bytes = K * 2 * size."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.utils.roofline import (
+        peak_for,
+    )
+
+    N = 64 * 1024 * 1024            # 256 MB f32 buffer >> VMEM
+    K = 64
+    x = jnp.full((N,), 1.0, jnp.float32)
+
+    @jax.jit
+    def stream(x):
+        def body(_, y):
+            return y * 1.0000001 + 1e-7
+        return jax.lax.fori_loop(0, K, body, x)
+
+    np.asarray(stream(x)[:1])       # compile + warm
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(stream(x)[:1])   # fetch forces execution (axon rule)
+        best = min(best, time.perf_counter() - t0)
+    moved = K * 2 * N * 4           # read + write per iteration
+    gbps = moved / best / 1e9
+    kind = jax.devices()[0].device_kind.lower()
+    peak = peak_for(kind)
+    out = {"kernel": "hbm_stream_saxpy", "buffer_mb": N * 4 // 2**20,
+           "iters": K, "ms": round(best * 1e3, 2),
+           "achieved_gbps": round(gbps, 1), "device_kind": kind}
+    if peak:
+        out["peak_gbps"] = peak[1] / 1e9
+        out["fraction_of_spec_peak"] = round(gbps / (peak[1] / 1e9), 3)
+    print(json.dumps(out))
+    return gbps
+
+
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     import sys as _sys
     only = _sys.argv[1] if len(_sys.argv) > 1 else None
     table = {"conv": bench_conv, "conv_bf16": bench_conv_bf16,
              "decoder": bench_fast_decoder, "attn": bench_attention,
-             "unet": bench_unet}
+             "unet": bench_unet, "hbm": bench_hbm_stream}
     for name, fn in table.items():
         if only is None or only == name:
             fn()
