@@ -60,9 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--engine", choices=["jax", "pycbc"], default="jax",
                    help="Waveform engine: batched on-device JAX chirps, or "
                         "host-side PyCBC SEOBNRv4 (requires pycbc installed).")
-    g.add_argument("--ringdown", choices=["qnm", "isco"], default="qnm",
+    g.add_argument("--ringdown", choices=["qnm", "qnm_c1", "isco"],
+                   default="qnm",
                    help="PN-engine post-inspiral model: 'qnm' = Kerr-remnant "
                         "quasi-normal-mode ringdown (NR-fit final mass/spin); "
+                        "'qnm_c1' = same physics, C1 attachment (chirp-rate-"
+                        "matched blend + ramped decay — lowest TaylorF2 "
+                        "mismatch; opt-in for corpus consistency); "
                         "'isco' = legacy damped sinusoid at termination.")
     g.add_argument("--f-taper-frac", type=float, default=1.0,
                    help="< 1: half-Hann turn-on spans [f_taper_frac*f_lower, "

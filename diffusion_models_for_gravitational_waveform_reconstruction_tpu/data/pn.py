@@ -377,6 +377,20 @@ def pn_chirp(
       the blend — a brief merger bump — times the QNM exponential decay.
       This is the TPU-native analogue of the calibrated merger-ringdown the
       reference gets from SEOBNRv4 (ref ``gen.py:70-79``).
+    - ``"qnm_c1"``: same physics with a C^1 (once-differentiable)
+      attachment.  ``"qnm"`` is only C^0: the instantaneous frequency
+      jumps from the inspiral chirp rate df/dt|_term to the fixed-
+      timescale blend slope (f_QNM - f_term)/(10 M_f), and the QNM decay
+      switches on at full rate — two envelope/frequency kinks whose
+      spectral leakage lands IN BAND and dominates the chi=+0.6 cells of
+      the TaylorF2 mismatch table (RESULTS.md).  Here the blend timescale
+      is set so the frequency slope is continuous,
+      tau_blend = (f_QNM - f_term) / (df/dt|_term), and the decay RATE
+      ramps in with the same blend, exp(-(dt - tau_blend (1-e^-dt/tb))
+      / tau_QNM), which starts at zero slope and approaches the exact QNM
+      rate once the mode rings at f_QNM — so both frequency and the full
+      amplitude envelope are C^1 at the attachment.  Opt-in: existing
+      corpora (trained with "qnm") must stay generation-consistent.
     - ``"isco"``: legacy constant-frequency damped sinusoid at the
       termination frequency with ad-hoc decay ``ringdown_damp`` e-folds per
       angular cycle (round-3 behavior, kept for reproducibility).
@@ -424,21 +438,45 @@ def pn_chirp(
     amp_term = (4.0 / d_s) * jnp.power(mc_s, 5.0 / 3.0) * jnp.power(
         jnp.pi * f_term, 2.0 / 3.0)
     dt_rd = jnp.maximum(t - t_term, 0.0)
-    if ringdown == "qnm":
+    if ringdown in ("qnm", "qnm_c1"):
         m_f_s, a_f = final_mass_spin(m1, m2, chi1, chi2)
         f_qnm, tau_rd = qnm_f_tau(m_f_s, a_f)
         # QNM of a subsolar-band remnant can undershoot an extreme ISCO
         # termination after clipping; keep the blend target above f_term so
         # the frequency never runs backwards through the merger.
         f_qnm = jnp.maximum(f_qnm, 1.05 * f_term)
-        tau_blend = 10.0 * m_f_s                 # ~10 M_f merger timescale
+        if ringdown == "qnm_c1":
+            # frequency-C^1 blend timescale: df/dt at the termination is
+            # (df/dv)(dv/dt) = -3 v^2 / (pi M dtau/dv) (dtau/dv < 0 on the
+            # monotone branch); matching the blend's initial slope
+            # (f_QNM - f_term)/tau_blend to it removes the chirp-rate kink.
+            # Clamped to [2, 100] M_f: turnover-terminated cells have
+            # dtau/dv -> 0 (infinite chirp rate), and the clamp keeps the
+            # merger sweep on a physical few-M_f timescale.
+            dtau = jnp.minimum(
+                _dtau_dv(v_term, M_s, eta, beta, sigma), -1e-30)
+            fdot_term = -3.0 * v_term ** 2 / (jnp.pi * M_s * dtau)
+            tau_blend = jnp.clip((f_qnm - f_term) / fdot_term,
+                                 2.0 * m_f_s, 100.0 * m_f_s)
+        else:
+            tau_blend = 10.0 * m_f_s             # ~10 M_f merger timescale
         blend = jnp.exp(-dt_rd / tau_blend)
         f_rd_t = f_qnm - (f_qnm - f_term) * blend
         # closed-form integral of 2 pi f_rd_t dt -> continuous phase
         ph_rd = phase_term + 2.0 * jnp.pi * (
             f_qnm * dt_rd - (f_qnm - f_term) * tau_blend * (1.0 - blend))
+        if ringdown == "qnm_c1":
+            # decay rate ramps in with the same blend: the exponent is
+            # -integral_0^dt (1 - e^{-s/tb}) ds / tau_QNM, zero slope at the
+            # attachment, asymptotically the exact QNM rate (time-shifted
+            # by tau_blend) — amplitude-C^1 given the frequency-C^1 blend,
+            # since the (f/f_term)^(2/3) factor then matches the inspiral
+            # amplitude slope at dt=0.
+            decay_exp = -(dt_rd - tau_blend * (1.0 - blend)) / tau_rd
+        else:
+            decay_exp = -dt_rd / tau_rd
         decay = (amp_term * jnp.power(f_rd_t / f_term, 2.0 / 3.0)
-                 * jnp.exp(-dt_rd / tau_rd))
+                 * jnp.exp(decay_exp))
     else:
         tau_rd = ringdown_damp / (2.0 * jnp.pi * f_term)
         ph_rd = phase_term + 2.0 * jnp.pi * f_term * dt_rd

@@ -312,6 +312,8 @@ class SynthConfig:
     engine: str = "pn"
     # post-inspiral model for the pn engine: "qnm" = Kerr-remnant
     # quasi-normal-mode ringdown with NR-fit final mass/spin (pn.pn_chirp);
+    # "qnm_c1" = same physics with a C^1 attachment (lowest TaylorF2
+    # mismatch; opt-in so existing "qnm" corpora stay consistent);
     # "isco" = legacy constant-frequency damped sinusoid.
     ringdown: str = "qnm"
     # < 1: the half-Hann turn-on completes AT the f_lower crossing instead

@@ -429,3 +429,65 @@ def test_f_taper_frac_range_validated():
             pn.pn_chirp(jnp.asarray(M1), jnp.asarray(M2),
                         jnp.asarray(CHI1), jnp.asarray(CHI2),
                         f_taper_frac=bad, **kw)
+
+
+def test_qnm_c1_inspiral_identical_and_attachment_smoother():
+    """ringdown='qnm_c1' (round-5, VERDICT r4 item 6): identical inspiral,
+    but the attachment is C^1, so the kink's broadband spectral splatter
+    must shrink decisively.  The discriminating observable is power ABOVE
+    the QNM frequency — no physical content lives at > 1.3 f_QNM, so
+    anything there is attachment leakage (measured: ~4.4x reduction for
+    this cell; asserted at 2x for headroom)."""
+    fs = 16384
+    n = 4 * fs
+    args = (jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(0.6),
+            jnp.asarray(0.6))
+    kw = dict(n=n, fs=fs)
+    h_q = np.asarray(pn.pn_chirp(*args, ringdown="qnm", **kw), np.float64)
+    h_c = np.asarray(pn.pn_chirp(*args, ringdown="qnm_c1", **kw), np.float64)
+    assert np.isfinite(h_c).all()
+
+    # pre-termination samples are bit-identical (same inspiral code path)
+    d = np.abs(h_q - h_c)
+    first_diff = int(np.argmax(d > 1e-12 * np.abs(h_q).max()))
+    assert first_diff > n - int(0.1 * fs)
+
+    m_f_s, a_f = pn.final_mass_spin(M1, M2, 0.6, 0.6)
+    f_qnm = float(pn.qnm_f_tau(m_f_s, a_f)[0])
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+    above = (freqs > 1.3 * f_qnm) & (freqs < 4.0 * f_qnm)
+    inband = (freqs > 20.0) & (freqs < 1.1 * f_qnm)
+
+    def leak(h):
+        P = np.abs(np.fft.rfft(h)) ** 2
+        return P[above].sum() / P[inband].sum()
+
+    l_q, l_c = leak(h_q), leak(h_c)
+    assert l_c < 0.5 * l_q, (l_c, l_q)
+
+
+def test_qnm_c1_config_plumbed():
+    """SynthConfig.ringdown='qnm_c1' reaches pn_chirp via generate_sample
+    and differs from 'qnm' only post-termination."""
+    from diffusion_models_for_gravitational_waveform_reconstruction_tpu.data import (
+        synth,
+    )
+    key = jax.random.PRNGKey(3)
+    out_q = synth.generate_sample(
+        key, m1=30.0, m2=25.0, spin1z=0.4, spin2z=0.4, target_snr=12.0,
+        config=synth.SynthConfig(n=8192, fs=4096, ringdown="qnm"))
+    out_c = synth.generate_sample(
+        key, m1=30.0, m2=25.0, spin1z=0.4, spin2z=0.4, target_snr=12.0,
+        config=synth.SynthConfig(n=8192, fs=4096, ringdown="qnm_c1"))
+    c_q = np.asarray(out_q["signal"], np.float64)
+    c_c = np.asarray(out_c["signal"], np.float64)
+    assert np.abs(c_q - c_c).max() > 0.0
+    # the target-SNR rescale is global and differs between modes (the C^1
+    # merger carries different matched-filter weight), so UNDO it with the
+    # returned raw_sigma: the physical waveforms then agree bit-for-bit
+    # through the inspiral and differ only near the merger (last ~0.15 s)
+    p_q = c_q * float(out_q["raw_sigma"])
+    p_c = c_c * float(out_c["raw_sigma"])
+    d = np.abs(p_q - p_c)
+    first_diff = int(np.argmax(d > 1e-7 * np.abs(p_q).max()))
+    assert first_diff > 8192 - int(0.15 * 4096)

@@ -114,6 +114,11 @@ def main(argv=None) -> int:
                     help="< 1: half-Hann turn-on completes AT the f_lower "
                          "crossing (taper below band) instead of ramping "
                          "0.25 s into the band (pn.pn_chirp).")
+    ap.add_argument("--ringdown", choices=["qnm", "qnm_c1", "isco"],
+                    default="qnm",
+                    help="Post-inspiral attachment: 'qnm_c1' is the C1 "
+                         "(chirp-rate-matched) blend whose reduced spectral "
+                         "leakage this harness quantifies.")
     args = ap.parse_args(argv)
 
     fs, fl = args.fs, args.f_lower
@@ -138,7 +143,7 @@ def main(argv=None) -> int:
                 jnp.asarray(float(m1)), jnp.asarray(float(m2)),
                 jnp.asarray(float(chi)), jnp.asarray(float(chi)),
                 n=n, fs=int(fs), distance=410.0, f_lower=fl,
-                fplus=1.0, fcross=0.0,
+                fplus=1.0, fcross=0.0, ringdown=args.ringdown,
                 f_taper_frac=args.f_taper_frac), np.float64)
             match = weighted_match(h, fs, m1, m2, chi, chi, 410.0,
                                    fl + 2.0, f_hi)
@@ -165,6 +170,7 @@ def main(argv=None) -> int:
                         "reference repo ships no waveform fixtures — "
                         "SEOBNRv4 comparison impossible in this environment",
         "f_taper_frac": args.f_taper_frac,
+        "ringdown": args.ringdown,
         "rows": rows,
         "mismatch_max": max(mm), "mismatch_median": float(np.median(mm)),
     }
