@@ -141,8 +141,9 @@ if [ -f "$SERVE" ] && [ ! -f "$BS" ] && ! past_deadline; then
     > "$BS" 2>/tmp/bench_serving_md.log && cat "$BS" | tee -a $LOG
 fi
 
-# ---- 8. taper A/B retrains (identical config, only the corpus differs) ----
-for TAG in 10 085; do
+# ---- 8. taper/attachment A/B retrains (identical config, corpus differs:
+# tap10 = legacy, tap085 = below-band taper, tapc1 = taper + C1 ringdown) ----
+for TAG in 10 085 c1; do
   TR=runs/big/train_tap${TAG}_20k.h5
   EV=runs/flagship/evalgrid_tap${TAG}.h5
   M=runs/big/model_tap${TAG}
