@@ -10,11 +10,12 @@ waveform ASSEMBLY (tau(v) Newton inversion, spin-dependent termination,
 half-Hann turn-on, uniform-grid sampling, FFT conventions) faithfully
 realise the analytic stationary-phase model it claims to implement?
 
-Method: for each (m1, m2, chi1, chi2) the time-domain inspiral from
-``pn.pn_chirp`` (ringdown switched to the legacy exponential damp and the
-band cut BELOW termination, so only the inspiral is compared — SPA is not
-valid through merger) is FFT'd and matched against the closed-form
-frequency-domain TaylorF2 waveform
+Method: for each (m1, m2, chi1, chi2) the time-domain waveform from
+``pn.pn_chirp`` (full assembly including the selected ``--ringdown``
+attachment; the match band is cut BELOW termination, so the comparison
+target is inspiral-only — SPA is not valid through merger — while the
+attachment's in-band spectral leakage is correctly penalised) is FFT'd
+and matched against the closed-form frequency-domain TaylorF2 waveform
 
     H(f) = sqrt(5/24) pi^(-2/3) Mc^(5/6) D^(-1) f^(-7/6) e^(i Psi(f)),
     Psi(f) = 2 pi f t_c - pi/4 + psi(v),   v = (pi M f)^(1/3)
