@@ -54,13 +54,19 @@ if [ ! -f "$OUT/summary.json" ] && ! past_deadline; then
 print('[endgame] ep175 corr', s.get('corr_macro_mean'), 'mf', s.get('mf_ratio_macro_mean'))" | tee -a $LOG
 fi
 
-# ---- 3. progressive distillation (teacher @32-step lambda) + student grids ----
+# ---- 3. progressive distillation (teacher @32-step lambda) + student grids.
+# Data = the 20k legacy-taper corpus (same generator config as the flagship's
+# 130k, minus the low-mass top-up): ~same optimization steps via 6 epochs,
+# but 1.3 GB device-resident instead of 10.5 GB — the 16 kHz trainer shares
+# the chip's 16 GB HBM concurrently. ----
 DIST=runs/big/distilled_md
+DDATA=runs/big/train_tap10_20k.h5
+[ -f "$DDATA" ] || DDATA=runs/big/train_pn130k.h5
 if [ ! -f "$DIST/model_distilled_4step.msgpack" ] && ! past_deadline; then
-  echo "[endgame] distilling from $FINAL $(date -u +%H:%M:%S)" | tee -a $LOG
+  echo "[endgame] distilling from $FINAL on $DDATA $(date -u +%H:%M:%S)" | tee -a $LOG
   timeout 2700 $PY -m $PKG.cli.distill --teacher "$FINAL" \
-    --data runs/big/train_pn130k.h5 --model_dir $DIST \
-    --steps-schedule 32,16,8,4 --epochs 1 --batch-size 64 \
+    --data $DDATA --model_dir $DIST \
+    --steps-schedule 32,16,8,4 --epochs 6 --batch-size 64 \
     --ladder lambda --start-t 999 --log-jsonl $DIST/distill.jsonl \
     > /tmp/distill_md.log 2>&1
 fi
@@ -102,27 +108,6 @@ if [ ! -f "$OUT/summary.json" ] && ! past_deadline; then
     --outdir "$OUT" $KNOBS --avg-mode mf > /tmp/grid_md_mfavg.log 2>&1
   $PY -c "import json; s=json.load(open('$OUT/summary.json')); \
 print('[endgame] mf-avg corr', s.get('corr_macro_mean'), 'mf', s.get('mf_ratio_macro_mean'))" | tee -a $LOG
-fi
-
-# ---- 6. low-SNR fine-tune on 155k + grid (by_snr is the target metric) ----
-FT=runs/big/model_md_ft_snr
-CKPT=$FT/latest_model/model_diffusion.msgpack
-if [ ! -f "$CKPT" ] && ! past_deadline; then
-  echo "[endgame] low-SNR fine-tune on 155k $(date -u +%H:%M:%S)" | tee -a $LOG
-  timeout 1500 $PY -m $PKG.cli.train --data runs/big/train_pn155k.h5 \
-    --model_dir $FT --epochs 4 --batch-size 64 --base_ch 128 --pred_type v \
-    --whiten 1 --whiten_mode model --t_min_frac 0 --lr 5e-5 \
-    --init-from "$FINAL" --save-every-epochs 1 > /tmp/train_ft_md.log 2>&1
-fi
-[ -f "$CKPT" ] || CKPT=$(ls -t $FT/latest_model/model_diffusion_ep*.msgpack 2>/dev/null | head -1)
-OUT=runs/flagship/grid_md_ft_snr
-if [ -n "${CKPT:-}" ] && [ -f "$CKPT" ] && [ ! -f "$OUT/summary.json" ] && ! past_deadline; then
-  echo "[endgame] grid fine-tuned ($CKPT) $(date -u +%H:%M:%S)" | tee -a $LOG
-  timeout 1500 $PY -m $PKG.cli.grid --input-h5 $EVAL --model "$CKPT" \
-    --outdir "$OUT" $KNOBS > /tmp/grid_ft_md.log 2>&1
-  $PY -c "import json; s=json.load(open('$OUT/summary.json')); \
-print('[endgame] ft corr', s.get('corr_macro_mean'), 'by_snr', \
-[round(b['corr_mean'],3) for b in s.get('by_snr',[])])" | tee -a $LOG
 fi
 
 # ---- 7. serving export + fetch-forced production-shape bench ----
@@ -193,5 +178,32 @@ if [ ! -f "$SPIN" ] && ! past_deadline; then
   echo "[endgame] spin sensitivity $(date -u +%H:%M:%S)" | tee -a $LOG
   timeout 900 $PY tools/spin_sensitivity.py --input-h5 $EVAL --model "$FINAL" \
     --steps 50 --avg-seeds 4 > "$SPIN" 2>/tmp/spin_sens_md.log || true
+fi
+
+# ---- 12. low-SNR fine-tune on 155k + grid (by_snr is the target metric).
+# LAST and gated on the 16 kHz job being done: the 155k dataset is ~12.5 GB
+# device-resident and cannot share the 16 GB HBM with the 16 kHz trainer
+# or its L=16384 grid eval. ----
+while ! grep -q "all done" /tmp/16k.log 2>/dev/null && ! past_deadline; do
+  sleep 60
+done
+FT=runs/big/model_md_ft_snr
+CKPT=$FT/latest_model/model_diffusion.msgpack
+if [ ! -f "$CKPT" ] && ! past_deadline; then
+  echo "[endgame] low-SNR fine-tune on 155k $(date -u +%H:%M:%S)" | tee -a $LOG
+  timeout 1200 $PY -m $PKG.cli.train --data runs/big/train_pn155k.h5 \
+    --model_dir $FT --epochs 4 --batch-size 64 --base_ch 128 --pred_type v \
+    --whiten 1 --whiten_mode model --t_min_frac 0 --lr 5e-5 \
+    --init-from "$FINAL" --save-every-epochs 1 > /tmp/train_ft_md.log 2>&1
+fi
+[ -f "$CKPT" ] || CKPT=$(ls -t $FT/latest_model/model_diffusion_ep*.msgpack 2>/dev/null | head -1)
+OUT=runs/flagship/grid_md_ft_snr
+if [ -n "${CKPT:-}" ] && [ -f "$CKPT" ] && [ ! -f "$OUT/summary.json" ] && ! past_deadline; then
+  echo "[endgame] grid fine-tuned ($CKPT) $(date -u +%H:%M:%S)" | tee -a $LOG
+  timeout 1500 $PY -m $PKG.cli.grid --input-h5 $EVAL --model "$CKPT" \
+    --outdir "$OUT" $KNOBS > /tmp/grid_ft_md.log 2>&1
+  $PY -c "import json; s=json.load(open('$OUT/summary.json')); \
+print('[endgame] ft corr', s.get('corr_macro_mean'), 'by_snr', \
+[round(b['corr_mean'],3) for b in s.get('by_snr',[])])" | tee -a $LOG
 fi
 echo "[endgame] all done $(date -u +%H:%M:%S)" | tee -a $LOG
