@@ -419,6 +419,15 @@ def main(argv: Optional[List[str]] = None) -> None:
     if taper != 1.0 and not 0.5 < taper <= 1.0:
         raise SystemExit(
             f"--f-taper-frac must be in (0.5, 1.0], got {taper}")
+    rd = getattr(args, "ringdown", "qnm")
+    if rd != "qnm" and not (args.engine == "jax"
+                            and args.approximant == "pn"):
+        # same contract as --f-taper-frac: only the PN engine consumes
+        # SynthConfig.ringdown — a silently-ignored flag would let the user
+        # believe a newtonian/pycbc corpus carries the requested attachment
+        raise SystemExit(
+            "--ringdown is only honoured by --engine jax --approximant pn "
+            f"(got engine={args.engine}, approximant={args.approximant})")
     from ..utils.platform import maybe_force_platform
     maybe_force_platform(args.device)
     rng = np.random.default_rng(args.seed)
