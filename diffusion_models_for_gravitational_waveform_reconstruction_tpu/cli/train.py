@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the forward (activation memory "
                         "relief for long-segment large-batch configs).")
+    p.add_argument("--max-len", type=int, default=0,
+                   help="LEFT-truncate samples longer than this (merger at "
+                        "the right end is kept; only early inspiral drops). "
+                        "Caps the largest static bucket so long-segment "
+                        "(16 kHz) step programs fit HBM. 0 = off. "
+                        "Non-streaming loader only.")
     return p
 
 
@@ -138,6 +144,7 @@ def config_from_args(args) -> TrainConfig:
         init_from=args.init_from, save_every_epochs=args.save_every_epochs,
         resume=args.resume, profile_dir=args.profile_dir,
         streaming=args.streaming, stream_chunk=args.stream_chunk,
+        max_len=args.max_len,
         device_data=not args.no_device_data,
         tp=args.tp,
     )

@@ -264,6 +264,7 @@ def prepare_dataset(
     bucket_lengths: Optional[List[int]] = None,
     allow_no_signal: bool = False,
     max_samples: Optional[int] = None,
+    max_len: Optional[int] = None,
 ) -> PreparedDataset:
     """Load + whiten + sigma + bucket a dataset once (see module docstring).
 
@@ -271,6 +272,12 @@ def prepare_dataset(
     to the next power of two >= its length (so a fixed-config dataset lands
     in a single bucket -> one XLA compilation).
     ``max_samples``: cap for quick experiments on large datasets.
+    ``max_len``: LEFT-truncate samples longer than this AFTER whitening, so
+    the merger (right end, per the LEFT-pad collation contract) is kept and
+    only early inspiral is dropped. Caps the largest bucket — the train-step
+    program's activation memory scales with the bucket length (quadratically
+    through bottleneck attention), and the 65536-sample bucket of a 16 kHz
+    corpus does not fit a single chip's HBM at practical batch sizes.
     """
     raw = hdf5io.load_full(h5_path, allow_no_signal=allow_no_signal)
     fs = raw["fs"]
@@ -300,6 +307,8 @@ def prepare_dataset(
             psd_welch=raw["psd_welch"][i] if raw["psd_welch"] is not None else None,
             psd_welch_freqs=(raw["psd_welch_freqs"][i]
                              if raw["psd_welch_freqs"] is not None else None))
+        if max_len is not None and len(y) > max_len:
+            y, x = y[-max_len:], x[-max_len:]
 
         if include_metadata:
             def _get(name):

@@ -119,6 +119,10 @@ class TrainConfig:
                                         # than-RAM datasets); see
                                         # data.pipeline.StreamingDataset
     stream_chunk: int = 512             # samples prepared per chunk
+    max_len: int = 0                    # 0 = off; else LEFT-truncate samples
+                                        # to this length (merger kept; caps
+                                        # the largest bucket so the 16 kHz
+                                        # step program fits HBM)
     device_data: bool = True            # keep the bucketed dataset resident
                                         # in HBM and gather batches on-device
                                         # (zero per-step H2D; also avoids the
@@ -591,6 +595,9 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
                 n_synth, seed=cfg.seed, whiten=cfg.whiten,
                 sigma_mode=cfg.sigma_mode)
         elif cfg.streaming:
+            if cfg.max_len:
+                raise ValueError(
+                    "--max-len is only supported by the non-streaming loader")
             meta_scale = compute_meta_scale(cfg.data)
             dataset = dpipe.StreamingDataset(
                 cfg.data, whiten=cfg.whiten, whiten_mode=cfg.whiten_mode,
@@ -604,6 +611,7 @@ def train(cfg: TrainConfig, dataset=None, mesh=None) -> Dict[str, Any]:
                 cfg.data, whiten=cfg.whiten, whiten_mode=cfg.whiten_mode,
                 sigma_mode=cfg.sigma_mode, sigma_fixed=cfg.sigma_fixed,
                 include_metadata=True, mass_scale=meta_scale.get("M", 80.0),
+                max_len=cfg.max_len or None,
             )
     meta_scale = dataset.meta_scale
     # actual whitening domain the pipeline used (never trust the request —

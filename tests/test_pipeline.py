@@ -67,6 +67,25 @@ def test_max_samples(ragged_h5):
     assert ds.n == 2
 
 
+def test_max_len_left_truncates(ragged_h5):
+    """max_len drops EARLY samples only: the right end (merger, per the
+    LEFT-pad collation contract) of a truncated sample is bit-identical to
+    the right end of the untruncated one, and no bucket exceeds max_len."""
+    path, lengths = ragged_h5
+    full = prepare_dataset(path)
+    ds = prepare_dataset(path, max_len=2048)
+    assert max(ds.bucket_lengths) <= 2048
+    assert sum(b["clean"].shape[0] for b in ds.buckets.values()) == len(lengths)
+    # sample index 5 has length 3000 -> truncated to its last 2048 samples
+    i_full = list(full.buckets[4096]["index"]).index(5)
+    i_tr = list(ds.buckets[2048]["index"]).index(5)
+    np.testing.assert_array_equal(
+        ds.buckets[2048]["clean"][i_tr, 0, :],          # fills the bucket
+        full.buckets[4096]["clean"][i_full, 0, -2048:])
+    # mask covers the whole truncated sample (no pad)
+    assert ds.buckets[2048]["mask"][i_tr, 0].sum() == 2048
+
+
 def test_iterate_batches_static_shapes(rng):
     clean = rng.normal(size=(10, 64)).astype(np.float32)
     ds = dataset_from_arrays(clean, clean + 1.0, fs=4096.0)
