@@ -51,6 +51,26 @@ def merge(out_path: str, in_paths: list) -> int:
                         raise ValueError(
                             f"attr {a!r} mismatch across inputs: "
                             f"{float(ins[0].attrs[a])} vs {float(f.attrs[a])}")
+        # Generator-domain keys must agree for the merged corpus to be a
+        # single training domain (the below-band turn-on taper and the
+        # merger attachment change the waveform family; a model trained on
+        # a silent mix sees inconsistent targets — measured A/B in
+        # RESULTS.md "taper A/B").  Warn, don't error: deliberately mixed
+        # corpora (augmentation studies) are legitimate.
+        _domain_keys = ("approximant", "engine", "ringdown", "f_taper_frac",
+                        "f_lower", "distance")
+        cfgs = []
+        for f in ins:
+            try:
+                cfgs.append(json.loads(f.attrs.get("config_args", "{}")))
+            except (TypeError, ValueError):
+                cfgs.append({})
+        for k in _domain_keys:
+            vals = [c.get(k) for c in cfgs]
+            if any(v is not None and v != vals[0] for v in vals[1:]):
+                print(f"[merge] WARNING: generator config {k!r} differs "
+                      f"across inputs ({vals}); the merged corpus mixes "
+                      f"waveform domains", file=sys.stderr)
         n_total = sum(_n_rows(f) for f in ins)
         with h5py.File(out_path, "w") as out:
             for k in keys:

@@ -97,3 +97,41 @@ def test_merge_equal_length_vlen_rows(tmp_path, rng):
         assert np.array_equal(f["psd_welch"][3], np.full(33, 3.0))
         assert np.array_equal(f["psd_welch"][4], np.full(33, 0.0))
         assert all(len(f["psd_welch"][i]) == 33 for i in range(7))
+
+
+def test_merge_warns_on_generator_domain_mismatch(tmp_path, rng, capsys):
+    """Mixing corpora with different below-band tapers / merger attachments
+    silently mixes waveform domains (CLAUDE.md trap; measured end-to-end
+    taper A/B in RESULTS.md) — gw-merge warns but does not refuse."""
+    import json
+
+    p1, p2, out = tmp_path / "a.h5", tmp_path / "b.h5", tmp_path / "m.h5"
+    _make(p1, rng, 2)
+    _make(p2, rng, 2)
+    with h5py.File(p1, "a") as f:
+        f.attrs["config_args"] = json.dumps(
+            {"approximant": "pn", "ringdown": "qnm", "f_taper_frac": 1.0})
+    with h5py.File(p2, "a") as f:
+        f.attrs["config_args"] = json.dumps(
+            {"approximant": "pn", "ringdown": "qnm_c1", "f_taper_frac": 0.85})
+    merge_main(str(out), [str(p1), str(p2)])
+    err = capsys.readouterr().err
+    assert "ringdown" in err and "f_taper_frac" in err
+    assert "mixes" in err
+    with h5py.File(out, "r") as f:
+        assert f["lengths"].shape[0] == 4  # merge still happens
+
+
+def test_merge_no_warning_when_domains_match(tmp_path, rng, capsys):
+    import json
+
+    p1, p2, out = tmp_path / "a.h5", tmp_path / "b.h5", tmp_path / "m.h5"
+    _make(p1, rng, 2)
+    _make(p2, rng, 2)
+    cfg = json.dumps({"approximant": "pn", "ringdown": "qnm",
+                      "f_taper_frac": 0.85, "f_lower": 20.0})
+    for p in (p1, p2):
+        with h5py.File(p, "a") as f:
+            f.attrs["config_args"] = cfg
+    merge_main(str(out), [str(p1), str(p2)])
+    assert "mixes" not in capsys.readouterr().err
