@@ -13,14 +13,17 @@ LOG=/tmp/r5b_main.log
 TRAIN16_DEADLINE=1787183100   # ~23:45 UTC: stop 16k training, eval what exists
 EVAL_DEADLINE=1787185200      # ~00:20 UTC: no new TPU job after this
 
-wait_for () { while [ ! -f "$1" ]; do sleep 20; done; }
+# Gate on the gen chain's COMPLETION sentinel, not file existence: the HDF5
+# appears at creation and gen holds the h5py write lock until done (the
+# existence-gated v1 of this script raced exactly there).
+wait_for_sentinel () { while ! grep -q "$1" /tmp/r5b_gen.log 2>/dev/null; do sleep 20; done; }
 
 # ---- 1. taper-arm trainings (serialized; identical config, corpus differs) ----
 for TAG in 10 085 c1; do
   TR=runs/big/train_tap${TAG}_20k.h5
   M=runs/big/model_tap${TAG}
   CKPT=$M/latest_model/model_diffusion.msgpack
-  wait_for $TR
+  wait_for_sentinel "train tap$TAG done"
   if [ ! -f "$CKPT" ]; then
     echo "[main] train tap$TAG $(date -u +%H:%M:%S)" | tee -a $LOG
     timeout 1500 $PY -m $PKG.cli.train --data $TR --model_dir $M \
@@ -34,7 +37,7 @@ echo "[main] taper trains done $(date -u +%H:%M:%S)" | tee -a $LOG
 
 # ---- 2. 16 kHz training (v3 recipe: max-len 32768 kills the 65536 bucket) ----
 M16=runs/big/model_16k
-wait_for runs/big/train_16k20k.h5
+wait_for_sentinel "train_16k20k done"
 if [ ! -f $M16/latest_model/model_diffusion.msgpack ]; then
   for BS in 8 4; do
     BUDGET=$(( TRAIN16_DEADLINE - $(date -u +%s) ))
