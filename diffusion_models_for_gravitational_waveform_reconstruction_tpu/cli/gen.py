@@ -68,12 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "matched blend + ramped decay — lowest TaylorF2 "
                         "mismatch; opt-in for corpus consistency); "
                         "'isco' = legacy damped sinusoid at termination.")
-    g.add_argument("--f-taper-frac", type=float, default=1.0,
+    g.add_argument("--f-taper-frac", type=float, default=None,
                    help="< 1: half-Hann turn-on spans [f_taper_frac*f_lower, "
                         "f_lower] — completes at the band edge instead of "
                         "ramping 0.25 s into the band (PN engine; halves the "
-                        "worst-case TaylorF2 mismatch). Part of the data "
-                        "domain: train and eval must match.")
+                        "worst-case TaylorF2 mismatch AND wins the end-to-end "
+                        "reconstruction A/B, RESULTS.md round-5b). Part of "
+                        "the data domain: train and eval must match. "
+                        "Default: 0.85 for the PN engine, 1.0 otherwise.")
     g.add_argument("--approximant", choices=["pn", "newtonian"], default="pn",
                    help="JAX-engine waveform model: 'pn' = 3.5PN aligned-"
                         "spin phasing with Kerr-ISCO termination (spins "
@@ -407,9 +409,18 @@ def generate_pycbc(specs: List[dict], args) -> Dict[int, dict]:
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
-    taper = float(getattr(args, "f_taper_frac", 1.0))
-    if taper != 1.0 and not (args.engine == "jax"
-                             and args.approximant == "pn"):
+    taper_explicit = getattr(args, "f_taper_frac", None) is not None
+    if not taper_explicit:
+        # Round-5b A/B (RESULTS.md): the below-band taper wins BOTH waveform
+        # fidelity (worst-case TaylorF2 mismatch halved) and end-to-end
+        # reconstruction quality (corr_macro 0.6715 vs 0.6500 on matched
+        # 20k corpora), so it is the PN-engine default.  Non-PN engines
+        # don't consume it; they keep the neutral 1.0.
+        args.f_taper_frac = (0.85 if args.engine == "jax"
+                             and args.approximant == "pn" else 1.0)
+    taper = float(args.f_taper_frac)
+    if taper_explicit and taper != 1.0 and not (args.engine == "jax"
+                                                and args.approximant == "pn"):
         # only the PN engine consumes SynthConfig.f_taper_frac — erroring
         # beats a corpus the user believes carries the band-edge taper
         raise SystemExit(

@@ -175,6 +175,34 @@ def test_gen_fixed_and_random_modes(tmp_path):
         assert (np.abs(s1) <= 0.5).all()
 
 
+def test_gen_taper_default_is_engine_dependent(tmp_path):
+    """Round-5b: --f-taper-frac defaults to 0.85 for the PN engine (wins the
+    fidelity AND end-to-end A/Bs), 1.0 for non-PN engines (which don't
+    consume it); an EXPLICIT sub-1.0 value with a non-PN engine still
+    errors instead of being silently dropped."""
+    import h5py
+    import json
+
+    pn = str(tmp_path / "pn.h5")
+    cli_gen.main(["--mode", "fixed", "--num-samples", "1",
+                  "--output-path", pn, "--mass1", "35", "--mass2", "30"])
+    with h5py.File(pn, "r") as f:
+        assert json.loads(f.attrs["config_args"])["f_taper_frac"] == 0.85
+
+    newt = str(tmp_path / "newt.h5")
+    cli_gen.main(["--mode", "fixed", "--num-samples", "1",
+                  "--output-path", newt, "--mass1", "35", "--mass2", "30",
+                  "--approximant", "newtonian"])
+    with h5py.File(newt, "r") as f:
+        assert json.loads(f.attrs["config_args"])["f_taper_frac"] == 1.0
+
+    with pytest.raises(SystemExit, match="f-taper-frac"):
+        cli_gen.main(["--mode", "fixed", "--num-samples", "1",
+                      "--output-path", str(tmp_path / "x.h5"),
+                      "--mass1", "35", "--mass2", "30",
+                      "--approximant", "newtonian", "--f-taper-frac", "0.9"])
+
+
 def test_gen_probe_rejects_impossible_config(tmp_path):
     # total mass ~600 Msun -> ISCO below f_lower: probe must fail
     with pytest.raises(SystemExit):
