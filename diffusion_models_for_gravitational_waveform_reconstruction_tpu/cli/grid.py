@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="ddim")
     s.add_argument("--ladder", choices=["t", "lambda"], default=None,
                    help="Default: 'lambda' for --sampler dpmpp, else 't'.")
+    s.add_argument("--eval-scan-cap", type=int, default=None,
+                   help="Max samples per jitted reconstruction scan (HBM "
+                        "escape hatch; default: auto from length, seeds and "
+                        "whether the checkpoint uses attention).")
     s.add_argument("--avg-seeds", type=int, default=1,
                    help="Average N independent-noise reconstructions per "
                         "sample (batched into one scan).")

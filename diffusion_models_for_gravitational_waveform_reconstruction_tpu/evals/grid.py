@@ -170,26 +170,66 @@ def eval_indices(
         by_len.setdefault(p["L"], []).append(i)
 
     rows = []
+    avg_seeds = int(getattr(args, "avg_seeds", 1))
+    eff_seeds = max(1, avg_seeds)
+    use_attn = bool(ck.get("use_attention", False))
     for L, idxs in sorted(by_len.items()):
-        conds = np.concatenate([preps[i]["cond_stack"] for i in idxs], axis=0)
-        sigmas = np.array([preps[i]["sigma"] for i in idxs], np.float32)
-        cleans = [preps[i]["clean_norm"] for i in idxs]
-        cn = (np.concatenate(cleans, axis=0)
-              if all(c is not None for c in cleans) else None)
-        key, k = jax.random.split(key)
-        avg_seeds = int(getattr(args, "avg_seeds", 1))
-        out = reconstruct_batch(model, params, schedule, conds, sigmas,
-                                cfg, k, clean_norms=cn,
-                                sampler=getattr(args, "sampler", "ddim"),
-                                avg_seeds=avg_seeds,
-                                avg_mode=getattr(args, "avg_mode",
-                                                 "mean"),
-                                amp_calib=getattr(args, "amp_calib",
-                                                  "none"),
-                                extra_models=getattr(
-                                    args, "_extra_models", None),
-                                return_seed_std=avg_seeds > 1)
-        x0_white, std_white = out if avg_seeds > 1 else (out, None)
+        # HBM-aware chunking (round-5b): seeds multiply the scan batch
+        # (S*B samples in ONE jitted scan), so an unchunked same-length
+        # batch at 16 kHz is fatal — bottleneck-attention scores scale as
+        # S*B*heads*(L/8)^2 (76 samples x 4 seeds at L=32768 would need
+        # O(100 GB) of a 16 GB chip); conv activations scale as S*B*L.
+        # Cap the per-scan work accordingly and pad the LAST chunk up to
+        # the chunk size so every chunk reuses one compiled program per L
+        # (16 kHz compiles cost minutes).  The budgets keep every
+        # previously-working 4 kHz workload in a single unchanged batch.
+        cap_override = getattr(args, "eval_scan_cap", None)
+        if cap_override:
+            cap = max(1, int(cap_override))
+        elif use_attn:
+            cap = max(1, int(2.4e10) // (eff_seeds * L * L))
+        else:
+            cap = max(1, (1 << 24) // (eff_seeds * L))
+        chunk = min(len(idxs), cap)
+        x0_parts, std_parts = [], []
+        for c0 in range(0, len(idxs), chunk):
+            sub = idxs[c0:c0 + chunk]
+            pad = chunk - len(sub)
+            conds = np.concatenate(
+                [preps[i]["cond_stack"] for i in sub], axis=0)
+            sigmas = np.array([preps[i]["sigma"] for i in sub], np.float32)
+            cleans = [preps[i]["clean_norm"] for i in sub]
+            cn = (np.concatenate(cleans, axis=0)
+                  if all(c is not None for c in cleans) else None)
+            if pad:
+                conds = np.concatenate(
+                    [conds, np.zeros((pad,) + conds.shape[1:], conds.dtype)],
+                    axis=0)
+                sigmas = np.concatenate(
+                    [sigmas, np.ones((pad,), np.float32)])
+                if cn is not None:
+                    cn = np.concatenate(
+                        [cn, np.zeros((pad,) + cn.shape[1:], cn.dtype)],
+                        axis=0)
+            key, k = jax.random.split(key)
+            out = reconstruct_batch(model, params, schedule, conds, sigmas,
+                                    cfg, k, clean_norms=cn,
+                                    sampler=getattr(args, "sampler", "ddim"),
+                                    avg_seeds=avg_seeds,
+                                    avg_mode=getattr(args, "avg_mode",
+                                                     "mean"),
+                                    amp_calib=getattr(args, "amp_calib",
+                                                      "none"),
+                                    extra_models=getattr(
+                                        args, "_extra_models", None),
+                                    return_seed_std=avg_seeds > 1)
+            xw, sw = out if avg_seeds > 1 else (out, None)
+            x0_parts.append(np.asarray(xw)[:len(sub)])
+            if sw is not None:
+                std_parts.append(np.asarray(sw)[:len(sub)])
+        x0_white = np.concatenate(x0_parts, axis=0)
+        std_white = (np.concatenate(std_parts, axis=0)
+                     if std_parts else None)
         for j, i in enumerate(idxs):
             p = preps[i]
             x0_raw = dewhiten_back(x0_white[j].astype(np.float64), p)

@@ -175,6 +175,29 @@ def test_gen_fixed_and_random_modes(tmp_path):
         assert (np.abs(s1) <= 0.5).all()
 
 
+def test_grid_chunked_eval_matches_row_count(workdir, dataset, checkpoint):
+    """Round-5b HBM-aware chunking: forcing a scan cap smaller than the
+    per-length batch (so the last chunk is PADDED) must still score every
+    sample exactly once, with finite metrics and the uncertainty block
+    intact — at 16 kHz the unchunked batch would not fit on the chip."""
+    out = os.path.join(workdir, "grid_chunked")
+    cli_grid.main([
+        "--input-h5", dataset, "--model", checkpoint, "--outdir", out,
+        "--steps", "4", "--per-cell", "3", "--avg-seeds", "2",
+        "--eval-scan-cap", "2",
+        "--whiten", "1", "--whiten-mode", "model", "--unordered"])
+    import csv
+    with open(os.path.join(out, "per_index_metrics.csv")) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) >= 3
+    assert len({r["index"] for r in rows}) == len(rows)  # each scored once
+    assert all(np.isfinite(float(r["corr"])) for r in rows)
+    assert all(float(r["unc_rel"]) > 0 for r in rows)    # std survived chunking
+    with open(os.path.join(out, "summary.json")) as fh:
+        s = json.load(fh)
+    assert np.isfinite(s["corr_macro_mean"])
+
+
 def test_gen_taper_default_is_engine_dependent(tmp_path):
     """Round-5b: --f-taper-frac defaults to 0.85 for the PN engine (wins the
     fidelity AND end-to-end A/Bs), 1.0 for non-PN engines (which don't
